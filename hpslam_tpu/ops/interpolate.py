@@ -1,0 +1,78 @@
+"""Inverse-distance feature interpolation at sample positions.
+
+Shared by the geometry and colour decoders (reference
+src/conv_onet/models/decoder.py:195-272 and 491-559 — both copies implement
+the same weighting; here it is one op evaluated **once per stage** and shared,
+instead of once per decoder as the reference does).
+
+Gradient structure matches the reference exactly:
+* mapper mode: weights are a function of the *search* distances (detached
+  positions) — gradients flow only into the gathered features;
+* tracker mode (``diff_pos=True``): distances are re-derived from gathered
+  cloud positions vs the (pose-dependent) query positions, so pose gradients
+  flow through the weights (decoder.py:209-218);
+* the out-of-radius zeroing mask is always on stopped gradients
+  (decoder.py:235-239 ``with torch.no_grad()``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def interp_weights(D, I, p, cloud_pos, r_query, min_nn_num: int,
+                   weighting: str = "distance", diff_pos: bool = False):
+    """Compute normalised neighbour weights.
+
+    Args:
+      D: (Q, k) squared search distances (from ops.knn).
+      I: (Q, k) neighbour indices.
+      p: (Q, 3) query positions (pose-differentiable in tracker mode).
+      cloud_pos: (N_cap, 3) point positions.
+      r_query: per-query radius, scalar or (Q,).
+      min_nn_num: minimum neighbours for a valid sample (cfg pointcloud.min_nn_num).
+      weighting: 'distance' (1/d^2) or 'expo' (exp(-20*d)).
+      diff_pos: tracker mode — re-derive D differentiably.
+
+    Returns:
+      weights: (Q, k, 1) L1-normalised, zero outside radius.
+      has_neighbors: (Q,) bool — >= min_nn_num within radius.
+    """
+    r = jnp.asarray(r_query)
+    if r.ndim == 1:
+        r = r[:, None]
+    r2 = r * r
+
+    nn_num = jnp.sum(D < r2, axis=-1)
+    has_neighbors = nn_num > (min_nn_num - 1)
+
+    if diff_pos:
+        neighbor_pos = cloud_pos[I]  # (Q, k, 3)
+        Dd = jnp.sum(jnp.square(neighbor_pos - p[:, None, :]), axis=-1)
+        out = Dd > r2
+        Dd = jnp.where(out, 1e4 if weighting == "distance" else 50.0, Dd)
+    else:
+        Dd = D
+
+    if weighting == "distance":
+        w = 1.0 / (Dd + 1e-10)
+    else:
+        w = jnp.exp(-20.0 * jnp.sqrt(Dd))
+    # zero out-of-radius on stopped gradients (torch.no_grad semantics)
+    w = jnp.where(jax.lax.stop_gradient(Dd) > r2, 0.0, w)
+    # F.normalize(p=1): divide by max(||w||_1, 1e-12)
+    norm = jnp.maximum(jnp.sum(jnp.abs(w), axis=-1, keepdims=True), 1e-12)
+    w = w / norm
+    return w[..., None], has_neighbors
+
+
+def weighted_gather(feats, I, weights, has_neighbors, fill=None):
+    """c = sum_k w_k * feats[I_k]; rows without neighbours get ``fill``
+    (zeros by default — the reference uses N(0, 0.01) noise, decoder.py:262-263,
+    but those rows are force-masked to occupancy -100 downstream so the value
+    is immaterial; zeros keep the pipeline deterministic).
+    """
+    c = jnp.sum(weights * feats[I], axis=1)
+    if fill is None:
+        fill = jnp.zeros_like(c)
+    return jnp.where(has_neighbors[:, None], c, fill)

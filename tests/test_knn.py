@@ -1,0 +1,74 @@
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from hpslam_tpu.ops import knn as K
+from hpslam_tpu.ops import interpolate as IT
+
+
+def test_knn_vs_kdtree_oracle(rng):
+    N_cap, count, Q, k = 2048, 1500, 257, 8
+    pts = rng.uniform(-2, 2, size=(N_cap, 3)).astype(np.float32)
+    pts[count:] = 123.0  # garbage in inactive slots
+    q = rng.uniform(-2, 2, size=(Q, 3)).astype(np.float32)
+
+    D, I = K.knn(jnp.asarray(q), jnp.asarray(pts), jnp.int32(count),
+                 k=k, q_chunk=64, n_tile=512)
+    D, I = np.asarray(D), np.asarray(I)
+
+    tree = cKDTree(pts[:count])
+    d_ref, i_ref = tree.query(q, k=k)
+    np.testing.assert_allclose(np.sqrt(D), d_ref, atol=1e-3)
+    # indices must match up to ties
+    same = (I == i_ref)
+    ties = np.isclose(np.sqrt(D), d_ref, atol=1e-5)
+    assert np.all(same | ties)
+
+
+def test_knn_fewer_than_k():
+    pts = jnp.zeros((64, 3)).at[:3].set(jnp.array([[0., 0, 0], [1, 0, 0], [2, 0, 0]]))
+    D, I = K.knn(jnp.array([[0.0, 0, 0]]), pts, jnp.int32(3), k=8)
+    D = np.asarray(D)
+    assert np.allclose(D[0, :3], [0.0, 1.0, 4.0], atol=1e-5)
+    assert np.all(D[0, 3:] >= K.BIG)
+    nn = K.neighbor_counts(jnp.asarray(D), 1.5)
+    assert int(nn[0]) == 2
+
+
+def test_neighbor_counts_dynamic_radius(rng):
+    D = jnp.array([[0.01, 0.04, 0.09, 1.0], [0.01, 0.04, 0.09, 1.0]])
+    r = jnp.array([0.25, 2.0])
+    nn = K.neighbor_counts(D, r)
+    assert list(np.asarray(nn)) == [2, 4]
+
+
+def test_interp_weights_mapper_mode(rng):
+    # hand-checkable 2-point case
+    pos = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [5.0, 0, 0], [0, 0, 0]])
+    feats = jnp.array([[1.0], [3.0], [100.0], [0.0]])
+    p = jnp.array([[0.25, 0.0, 0.0]])
+    D, I = K.knn(p, pos, jnp.int32(3), k=3)
+    w, has = IT.interp_weights(D, I, p, pos, r_query=2.0, min_nn_num=2)
+    c = IT.weighted_gather(feats, I, w, has)
+    # weights 1/d^2: d2 = 0.0625, 0.5625 -> w = 16, 1.777; norm -> 0.9, 0.1
+    assert bool(has[0])
+    np.testing.assert_allclose(float(c[0, 0]), 0.9 * 1.0 + 0.1 * 3.0, atol=1e-4)
+
+
+def test_interp_weights_tracker_grad(rng):
+    import jax
+    pos = jnp.asarray(rng.uniform(-1, 1, size=(128, 3)).astype(np.float32))
+    count = jnp.int32(128)
+    feats = jnp.asarray(rng.normal(size=(128, 4)).astype(np.float32))
+
+    def loss(shift):
+        p = jnp.asarray(rng.uniform(-0.5, 0.5, size=(16, 3)).astype(np.float32)) + shift
+        D, I = K.knn(jax.lax.stop_gradient(p), pos, count, k=8)
+        w, has = IT.interp_weights(D, I, p, pos, r_query=0.7, min_nn_num=2,
+                                   diff_pos=True)
+        c = IT.weighted_gather(feats, I, w, has)
+        return jnp.sum(c ** 2)
+
+    g = jax.grad(loss)(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.any(np.abs(np.asarray(g)) > 0)
