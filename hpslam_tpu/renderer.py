@@ -1,0 +1,184 @@
+"""Differentiable depth-guided volume renderer.
+
+Reference: src/utils/Renderer.py (render_batch_ray / render_img /
+eval_points).  TPU re-design: one pure function per stage — rays in, pixel
+values out — with the kNN search, feature interpolation, both MLPs and the
+compositor fused into a single jitted XLA program.  No 500k-point chunking
+(Renderer.py:61) and no per-call Python: batching is handled by the caller's
+scan/vmap.
+
+Sample layout: every ray gets exactly ``N_surface`` depth-guided samples in
+``[near_end_surface*d, far_end_surface*d]`` (Renderer.py:163-189;
+N_samples=0 in every shipped config so there is no uniform-ray branch).
+Zero-depth rays (full-image rendering only) take a static fallback mode.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models import decoder as Dec
+from .ops import composite as C
+from .ops import knn as K
+from .ops import sampling as S
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (cfg['rendering'] +
+    pointcloud.nn_num)."""
+    N_surface: int = 5
+    near_end: float = 0.3
+    near_end_surface: float = 0.98
+    far_end_surface: float = 1.02
+    sigmoid_coef: float = 0.1
+    sample_near_pcl: bool = True
+    skip_zero_depth_pixel: bool = False
+    fix_interval: bool = False
+    nn_num: int = 8
+    occupancy: bool = True
+
+    @classmethod
+    def from_cfg(cls, cfg: dict, sigmoid_coef_key: str = "sigmoid_coef_mapper"):
+        r = cfg["rendering"]
+        return cls(
+            N_surface=r["N_surface"],
+            near_end=r["near_end"],
+            near_end_surface=r["near_end_surface"],
+            far_end_surface=r["far_end_surface"],
+            sigmoid_coef=r[sigmoid_coef_key],
+            sample_near_pcl=r["sample_near_pcl"],
+            skip_zero_depth_pixel=r["skip_zero_depth_pixel"],
+            fix_interval=cfg["pointcloud"]["fix_interval_when_add_along_ray"],
+            nn_num=cfg["pointcloud"]["nn_num"],
+        )
+
+
+def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
+                stage: str, rays_o, rays_d, gt_depth,
+                cloud_pos, cloud_count, geo_feats, col_feats, r_query,
+                is_tracker: bool = False, exposure_feat=None,
+                far_fallback: Optional[jnp.ndarray] = None,
+                zero_depth_z_vals: Optional[jnp.ndarray] = None):
+    """Render one batch of rays at one stage/level.
+
+    Args:
+      params: NICER decoder params pytree.
+      stage:  'geometry_mid' | 'color_mid' | 'geometry_fine' | 'color_fine'
+              (static — each stage is its own compiled program, replacing the
+              reference's per-iter string dispatch, decoder.py:681-758).
+      rays_o, rays_d: (N, 3).
+      gt_depth: (N,) sensor depth; rays with depth 0 use the fallback z-vals.
+      cloud_pos/cloud_count/geo_feats/col_feats: active level's point store
+        (gradients flow into the feature arrays).
+      r_query: (N,) per-ray query radius for this level (dynamic radius).
+      is_tracker: pose-differentiable distance mode.
+      far_fallback: scalar far bound for zero-depth rays (max over batch);
+        defaults to far_bound_from_depth(gt_depth).
+      zero_depth_z_vals: optional (N, N_surface) precomputed z-values to use
+        where gt_depth == 0 (the sample_near_pcl path, computed by the
+        caller host-side or via sample_near_pcl_z below).
+
+    Returns: depth (N,), uncertainty (N,), color (N, 3), valid_ray_mask (N,)
+    """
+    N = rays_o.shape[0]
+    S_pts = rcfg.N_surface
+
+    nz = gt_depth > 0
+    safe_depth = jnp.where(nz, gt_depth, 1.0)
+    z_surface = S.surface_z_vals(safe_depth, S_pts, rcfg.near_end_surface,
+                                 rcfg.far_end_surface, rcfg.fix_interval)
+    if far_fallback is None:
+        far_fallback = S.far_bound_from_depth(jnp.where(nz, gt_depth, 0.0))
+    if zero_depth_z_vals is None:
+        zero_depth_z_vals = jnp.broadcast_to(
+            jnp.linspace(rcfg.near_end, far_fallback, S_pts), (N, S_pts))
+    z_vals = jnp.where(nz[:, None], z_surface, zero_depth_z_vals)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    p = pts.reshape(-1, 3)
+    rq = jnp.repeat(r_query, S_pts, axis=0)
+
+    # one kNN per stage, shared by geometry+colour decoders of the level
+    D, I = K.knn(jax.lax.stop_gradient(p), cloud_pos, cloud_count,
+                 k=rcfg.nn_num)
+
+    views_d = None
+    if mcfg.use_view_direction:
+        views_d = jnp.repeat(rays_d, S_pts, axis=0)
+
+    raw, vmask, point_mask = Dec.eval_stage(
+        params, mcfg, stage, p, D, I, geo_feats, col_feats, cloud_pos, rq,
+        n_pts_per_ray=S_pts, is_tracker=is_tracker, views_d=views_d,
+        exposure_feat=exposure_feat)
+
+    # samples without neighbours are forced transparent (Renderer.py:237-239)
+    occ = jnp.where(point_mask, raw[:, -1], -100.0)
+    raw = jnp.concatenate([raw[:, :3], occ[:, None]], axis=-1)
+    raw = raw.reshape(N, S_pts, 4)
+
+    depth, uncertainty, color, _ = C.raw2outputs(
+        raw, z_vals, rays_d, occupancy=rcfg.occupancy, coef=rcfg.sigmoid_coef)
+
+    if not rcfg.sample_near_pcl:
+        depth = jnp.where(nz, depth, 0.0)
+    if rcfg.skip_zero_depth_pixel:
+        color = jnp.where(nz[:, None], color, 0.0)
+    return depth, uncertainty, color, vmask
+
+
+def sample_near_pcl_z(rays_o, rays_d, near, far, n_surface: int,
+                      cloud_pos, cloud_count, r_query, nn_num: int = 8,
+                      intervals: int = 25):
+    """z-values near the point cloud for zero-depth rays.
+
+    Reference: neural_point.py:443-495 — probe ``intervals`` stratified
+    points per ray, then spread ``n_surface`` samples between the first and
+    last probe that has neighbours; rays whose probes have < 2 populated
+    slots fall back to a full-span linspace and are flagged invalid.
+
+    Returns (z_vals (N, n_surface), invalid_mask (N,)).
+    """
+    N = rays_o.shape[0]
+    z_probe = jnp.linspace(near, far, intervals)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[None, :, None]
+    D, I = K.knn(pts.reshape(-1, 3), cloud_pos, cloud_count, k=nn_num)
+    nn = K.neighbor_counts(D, jnp.repeat(r_query, intervals, axis=0))
+    has = (nn > 0).reshape(N, intervals)
+
+    n_hit = jnp.sum(has, axis=1)
+    invalid = n_hit < 2
+    first = jnp.argmax(has, axis=1)
+    last = intervals - 1 - jnp.argmax(has[:, ::-1], axis=1)
+    z0 = z_probe[first]
+    z1 = z_probe[last]
+    t = jnp.linspace(0.0, 1.0, n_surface)
+    z_hit = z0[:, None] * (1 - t) + z1[:, None] * t
+    z_full = jnp.broadcast_to(jnp.linspace(near, far, n_surface), (N, n_surface))
+    return jnp.where(invalid[:, None], z_full, z_hit), invalid
+
+
+def eval_points(params, mcfg: Dec.ModelConfig, p, cloud_pos, cloud_count,
+                geo_feats, col_feats, r_query, nn_num: int = 8,
+                level: str = "fine", exposure_feat=None):
+    """Query occupancy logit + colour at arbitrary 3D points (mesher path,
+    reference stage 'mesh', decoder.py:743-752).
+
+    Returns (occ (N,), rgb (N, 3), point_mask (N,)).
+    """
+    D, I = K.knn(p, cloud_pos, cloud_count, k=nn_num)
+    geo_dec = params[f"geo_{level}"]
+    col_dec = params[f"col_{level}"]
+    c_geo, has = Dec.interpolate_level_feats(
+        geo_dec, mcfg, p, D, I, geo_feats, cloud_pos, r_query,
+        diff_pos=False, encode_rel_pos=mcfg.encode_rel_pos_in_geo)
+    occ = Dec.apply_geo(geo_dec, mcfg, p, c_geo)
+    c_col, _ = Dec.interpolate_level_feats(
+        col_dec, mcfg, p, D, I, col_feats, cloud_pos, r_query,
+        diff_pos=False, encode_rel_pos=mcfg.encode_rel_pos_in_col)
+    rgb = Dec.apply_color(col_dec, mcfg, p, c_col, exposure_feat=exposure_feat)
+    return occ, rgb, has
