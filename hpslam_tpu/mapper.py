@@ -1,0 +1,560 @@
+"""Mapper — keyframe-window scene optimization as one jitted scan.
+
+Reference: src/Mapper.py (1371 LoC; 600 torch optimizer steps per mapping
+frame, each with host-side pixel sampling over up to 20 keyframes, Manager
+RPC faiss calls and per-iter LR reprogramming of 5 Adam param groups,
+Mapper.py:613-874).
+
+TPU re-design (SURVEY.md §7 deltas 4/5):
+
+* The whole 4-stage schedule (geometry_mid -> color_mid -> geometry_fine ->
+  color_fine, Mapper.py:633-640) runs as ONE ``lax.scan``: the per-iteration
+  stage id and the 5-group learning-rate vector are precomputed host-side
+  (exactly the reference's boundaries incl. the first-frame geo_iter_first
+  variant) and scanned as inputs; the step body dispatches the stage with
+  ``lax.switch``.
+* Keyframe windows are padded to a fixed stack ``[F_max, H, W, ...]`` and
+  every ray carries a frame id — so one compiled program serves any window
+  size and the iteration count only varies over a small bucket set.
+* Feature optimization runs over the full fixed-capacity feature arrays:
+  rays touch only in-frustum points, so gradients (and hence Adam updates)
+  outside the frustum are exactly zero — numerically equivalent to the
+  reference's frustum-masked sub-array optimization (Mapper.py:500-556) with
+  its per-frame fresh optimizer, without the gather/scatter bookkeeping.
+* Point insertion (non-overlap + overlap batches, Mapper.py:391-462) uses
+  the device-side zero-neighbour scatter insert from state.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import decoder as Dec
+from .ops import geometry as G
+from .ops import image as IM
+from .ops import optim as Opt
+from .ops import sampling as S
+from .renderer import RenderConfig, render_rays
+
+
+# ---------------------------------------------------------------------------
+# device helpers
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "H", "W"))
+def reprojection_visible(pts, prev_w2c, fx: float, fy: float, cx: float,
+                         cy: float, H: int, W: int):
+    """True where a world point projects inside the previous frame
+    (filter_point_before_add, Mapper.py:166-192; edge=0, no z test)."""
+    uv, z = G.project_points(pts, prev_w2c, fx, fy, cx, cy)
+    return (uv[:, 0] < W) & (uv[:, 0] > 0) & (uv[:, 1] < H) & (uv[:, 1] > 0)
+
+
+def keyframe_selection_overlap(rng: np.random.Generator, depth: np.ndarray,
+                               c2w: np.ndarray, keyframe_poses: List[np.ndarray],
+                               k: int, fx, fy, cx, cy,
+                               n_samples: int = 8, pixels: int = 200):
+    """Rank keyframes by frustum overlap with the current view
+    (Mapper.py:253-316).  Host-side numpy: projects ``pixels`` rays x
+    ``n_samples`` depth samples into each candidate keyframe and scores the
+    inside fraction; returns a random permutation of positively-overlapping
+    ids truncated to k.
+    """
+    H, W = depth.shape
+    valid = np.flatnonzero(depth.ravel() > 0)
+    if valid.size == 0 or len(keyframe_poses) == 0:
+        return []
+    sel = valid[rng.integers(0, valid.size, size=min(pixels, valid.size))]
+    jj, ii = np.unravel_index(sel, (H, W))
+    d = depth[jj, ii]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy, -np.ones_like(ii, np.float64)], -1)
+    rd = dirs @ c2w[:3, :3].T
+    ro = c2w[:3, 3]
+    t = np.linspace(0.0, 1.0, n_samples)
+    near = (d * 0.8)[:, None]
+    far = (d + 0.5)[:, None]
+    z = near * (1 - t) + far * t
+    pts = ro[None, None, :] + rd[:, None, :] * z[..., None]
+    pts = pts.reshape(-1, 3)
+
+    scores = []
+    for kid, kf_c2w in enumerate(keyframe_poses):
+        w2c = np.linalg.inv(kf_c2w)
+        cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        # NOTE: the reference's overlap test does NOT apply the x flip
+        # (Mapper.py:296 is commented out) and requires z < 0.
+        zc = cam[:, 2:3] + 1e-5
+        u = (fx * cam[:, 0] + cx * zc[:, 0]) / zc[:, 0]
+        v = (fy * cam[:, 1] + cy * zc[:, 0]) / zc[:, 0]
+        edge = 20
+        m = (u < W - edge) & (u > edge) & (v < H - edge) & (v > edge) & (cam[:, 2] < 0)
+        scores.append((kid, float(m.mean())))
+    overlapping = [kid for kid, s in sorted(scores, key=lambda x: -x[1]) if s > 0.0]
+    return list(rng.permutation(np.array(overlapping, np.int64))[:k])
+
+
+# ---------------------------------------------------------------------------
+# the jitted mapping scan
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcfg", "rcfg", "n_rays", "F_max", "H", "W",
+                     "fx", "fy", "cx", "cy", "n_iters", "use_exposure",
+                     "opt_color_dec", "opt_geo_dec", "w_color"),
+    donate_argnames=("opt_params",))
+def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
+             opt_params, key,
+             colors, depths, c2ws, rq_mid, rq_fine, pools, pool_lens,
+             expo_stack, frame_active,
+             pos_mid, count_mid, pos_fine, count_fine,
+             stage_ids, lr_table,
+             F_actual,
+             n_rays: int, F_max: int, H: int, W: int,
+             fx: float, fy: float, cx: float, cy: float,
+             n_iters: int, use_exposure: bool, opt_color_dec: bool,
+             opt_geo_dec: bool, w_color: float):
+    """Run the full mapping schedule for one frame.
+
+    opt_params: {'geo_mid','geo_fine','col_mid','col_fine' feature arrays,
+                 optional 'dec' (decoder subtrees), optional 'expo_feat'}
+    stage_ids: (n_iters,) int32 in {0: geometry_mid, 1: color_mid,
+               2: geometry_fine, 3: color_fine}
+    lr_table:  (n_iters, 5) per-group LRs
+               [decoders, geo_mid, geo_fine, col_mid, col_fine]
+    frame_active: (F_max,) bool — padding mask for the window stack.
+
+    Returns (opt_params, losses (n_iters, 2) [geo, color]).
+    """
+
+    def merged_params(op):
+        pr = dict(params)
+        if opt_color_dec:
+            pr["col_mid"] = op["dec"]["col_mid"]
+            pr["col_fine"] = op["dec"]["col_fine"]
+        if opt_geo_dec:
+            pr["geo_mid"] = op["dec"]["geo_mid"]
+            pr["geo_fine"] = op["dec"]["geo_fine"]
+        return pr
+
+    def sample_rays(k):
+        """n_rays spread over the F_actual active frames."""
+        fid = (jax.lax.broadcasted_iota(jnp.int32, (n_rays, 1), 0)[:, 0]
+               % F_actual)
+        plen = pool_lens[fid]
+        r = jax.random.randint(k, (n_rays,), 0, jnp.iinfo(jnp.int32).max)
+        idx = pools[fid, r % plen]
+        i = (idx % W).astype(jnp.float32)
+        j = (idx // W).astype(jnp.float32)
+        jj, ii = idx // W, idx % W
+        # per-frame rays (HIGHEST-precision small matmuls)
+        dirs = jnp.stack([(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)], -1)
+        R = c2ws[fid, :3, :3]
+        rays_d = jnp.einsum("nd,nkd->nk", dirs, R,
+                            precision=jax.lax.Precision.HIGHEST)
+        rays_o = c2ws[fid, :3, 3]
+        d_gt = depths[fid, jj, ii]
+        c_gt = colors[fid, jj, ii]
+        rqm = rq_mid[fid, jj, ii]
+        rqf = rq_fine[fid, jj, ii]
+        return fid, rays_o, rays_d, d_gt, c_gt, rqm, rqf
+
+    def stage_loss(op, k, stage_id):
+        pr = merged_params(op)
+        fid, rays_o, rays_d, d_gt, c_gt, rqm, rqf = sample_rays(k)
+        inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
+                                     1.2 * jnp.max(d_gt))
+
+        def run_stage(stage, level):
+            pos, count = (pos_mid, count_mid) if level == "mid" else (pos_fine, count_fine)
+            geo = op[f"geo_{level}"]
+            col = op[f"col_{level}"]
+            rq = rqm if level == "mid" else rqf
+            depth, unc, color, vmask = render_rays(
+                pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
+                pos, count, geo, col, rq, is_tracker=False,
+                exposure_feat=None)
+            mask = (d_gt > 0) & vmask & jnp.isfinite(depth) & inside
+            geo_loss = jnp.sum(jnp.where(mask, jnp.abs(d_gt - depth), 0.0))
+            if stage.startswith("geometry"):
+                return geo_loss, geo_loss, jnp.zeros(())
+            if use_exposure:
+                # per-frame colour affine on raw decoder output, then
+                # sigmoid (Mapper.py:802-856); current frame's latent is
+                # optimizable, keyframes' are frozen.
+                dec = pr[f"col_{level}"]
+                ef = jax.lax.stop_gradient(expo_stack)
+                if "expo_feat" in op:
+                    ef = ef.at[F_actual - 1].set(op["expo_feat"])
+                rots, transs = jax.vmap(
+                    lambda e: Dec.exposure_affine(dec, e))(ef)
+                rot = rots[fid]
+                tr = transs[fid]
+                color = jnp.einsum("nc,ncd->nd", color, rot,
+                                   precision=jax.lax.Precision.HIGHEST) + tr
+                color = jax.nn.sigmoid(color)
+            col_loss = jnp.sum(
+                jnp.where(mask[:, None], jnp.abs(c_gt - color), 0.0))
+            return geo_loss + w_color * col_loss, geo_loss, col_loss
+
+        return jax.lax.switch(stage_id, [
+            lambda: run_stage("geometry_mid", "mid"),
+            lambda: run_stage("color_mid", "mid"),
+            lambda: run_stage("geometry_fine", "fine"),
+            lambda: run_stage("color_fine", "fine"),
+        ])
+
+    def lr_tree_for(lrs):
+        tree = {
+            "geo_mid": lrs[1], "geo_fine": lrs[2],
+            "col_mid": lrs[3], "col_fine": lrs[4],
+        }
+        if opt_color_dec or opt_geo_dec:
+            tree["dec"] = jax.tree.map(lambda _: lrs[0], opt_params["dec"])
+        if use_exposure and "expo_feat" in opt_params:
+            tree["expo_feat"] = jnp.asarray(0.001)
+        return tree
+
+    def step(carry, xs):
+        op, ostate = carry
+        k, stage_id, lrs = xs
+
+        def scalar_loss(o):
+            total, geo_l, col_l = stage_loss(o, k, stage_id)
+            return total, (geo_l, col_l)
+
+        (loss, (geo_l, col_l)), grads = jax.value_and_grad(
+            scalar_loss, has_aux=True)(op)
+        op, ostate = Opt.update(grads, ostate, op, lr_tree_for(lrs))
+        return (op, ostate), jnp.stack([geo_l, col_l])
+
+    ostate = Opt.init(opt_params)
+    keys = jax.random.split(key, n_iters)
+    (opt_params, _), losses = jax.lax.scan(
+        step, (opt_params, ostate), (keys, stage_ids, lr_table))
+    return opt_params, losses
+
+
+# ---------------------------------------------------------------------------
+# host-side schedule construction
+
+def build_schedule(n_joint: int, mid_ratio: float, geo_ratio: float,
+                   init: bool, geo_iter_first: int, lr_cfg: dict):
+    """Per-iteration stage ids + 5-group LR table.
+
+    Reproduces Mapper.py:633-655 exactly: stage boundaries at
+    geo_iter_first (init) / num_mid*geo_ratio, num_mid,
+    num_mid + num_fine*geo_ratio.
+    """
+    num_mid = int(n_joint * mid_ratio)
+    num_fine = int(n_joint * (1 - mid_ratio))
+    A = geo_iter_first if init else int(num_mid * geo_ratio)
+    B = num_mid
+    C = int(num_mid + num_fine * geo_ratio)
+    names = ["geometry_mid", "color_mid", "geometry_fine", "color_fine"]
+    stage_ids = np.empty((n_joint,), np.int32)
+    lr_table = np.empty((n_joint, 5), np.float32)
+    block = lr_cfg["init"] if init else lr_cfg["stage"]
+    for j in range(n_joint):
+        s = 0 if j <= A else (1 if j <= B else (2 if j <= C else 3))
+        stage_ids[j] = s
+        g = block[names[s]]
+        lr_table[j] = [g["decoders_lr"], g["geometry_mid_lr"],
+                       g["geometry_fine_lr"], g["color_lr"], g["color_lr"]]
+    return stage_ids, lr_table
+
+
+def bucket_iters(n: int, base: int) -> int:
+    """Snap the more-iters-when-adding count to a small bucket set to bound
+    XLA recompiles (the reference recreates its Python loop freely,
+    Mapper.py:605-608; we trade <=12%% iteration-count deviation for a
+    fixed set of compiled programs)."""
+    buckets = sorted({max(1, int(base * f))
+                      for f in (0.95, 1.0, 1.25, 1.5, 2.0)})
+    return min(buckets, key=lambda b: abs(b - n))
+
+
+class Mapper:
+    """Host-side driver: point adding, keyframe window assembly, schedule
+    construction, and the jitted map_scan call."""
+
+    def __init__(self, cfg: dict, slam):
+        self.cfg = cfg
+        self.slam = slam
+        m = cfg["mapping"]
+        self.every_frame = m["every_frame"]
+        self.iters = m["iters"]
+        self.iters_first = m["iters_first"]
+        self.geo_iter_first = m["geo_iter_first"]
+        self.geo_iter_ratio = m["geo_iter_ratio"]
+        self.mid_iter_ratio = m["mid_iter_ratio"]
+        self.mapping_pixels = m["pixels"]
+        self.pixels_adding = m["pixels_adding"]
+        self.pixels_color_grad = m.get("pixels_based_on_color_grad", 0)
+        self.window_size = m["mapping_window_size"]
+        self.keyframe_every = m["keyframe_every"]
+        self.w_color = m["w_color_loss"]
+        self.more_iters_when_adding = m["more_iters_when_adding"]
+        self.min_iter_ratio = m["min_iter_ratio"]
+        self.filter_before_add = m["filter_before_add_points"]
+        self.kf_selection_method = m["keyframe_selection_method"]
+        self.fix_color_decoder = m["fix_color_decoder"]
+        self.fix_geo_mid = m["fix_geo_decoder_mid"]
+        self.fix_geo_fine = m["fix_geo_decoder_fine"]
+        self.lr_cfg = {"init": m["init"], "stage": m["stage"]}
+        self.use_exposure = cfg["model"]["encode_exposure"]
+        self.radius_hierarchy = cfg["pointcloud"]["radius_hierarchy"]
+        self.radius_query_ratio = cfg["pointcloud"]["radius_query_ratio"]
+        self.color_grad_threshold = cfg["pointcloud"]["color_grad_threshold"]
+        self.rcfg = RenderConfig.from_cfg(cfg, "sigmoid_coef_mapper")
+        self.rng = np.random.default_rng(cfg.get("seed", 1219))
+        self.prev_c2w: Optional[np.ndarray] = None
+        self.keyframe_list: List[int] = []
+        self.keyframe_dict: List[dict] = []
+        self.selected_keyframes: Dict[int, list] = {}
+
+    # -- point adding -------------------------------------------------------
+    def _sample_valid(self, depth: np.ndarray, n: int):
+        pool = IM.valid_pixel_pool(depth, 0, depth.shape[0], 0, depth.shape[1])
+        sel = pool[self.rng.integers(0, pool.shape[0], size=n)]
+        jj, ii = np.unravel_index(sel, depth.shape)
+        return ii, jj
+
+    def add_points_for_frame(self, idx, frame, c2w, npc, r_add) -> int:
+        """Non-overlap + overlap insertion batches (Mapper.py:391-462)."""
+        slam = self.slam
+        H, W = frame.depth.shape
+        if idx == 0:
+            med = float(np.median(frame.depth[frame.depth > 0])) if \
+                (frame.depth > 0).any() else 2.5
+            n_add = int(np.clip(self.pixels_adding * (med / 2.5) ** 2,
+                                self.pixels_adding, self.pixels_adding * 3))
+        else:
+            n_add = self.pixels_adding
+
+        ii, jj = self._sample_valid(frame.depth, n_add)
+        dirs = np.stack([(ii - slam.cx) / slam.fx, -(jj - slam.cy) / slam.fy,
+                         -np.ones_like(ii, np.float64)], -1).astype(np.float32)
+        rays_d = (dirs @ c2w[:3, :3].T).astype(np.float32)
+        rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape).astype(np.float32)
+        depth_s = frame.depth[jj, ii]
+        color_s = frame.color[jj, ii]
+
+        total_fine = 0
+        if self.filter_before_add and idx != 0:
+            prev_w2c = jnp.asarray(np.linalg.inv(self.prev_c2w))
+            pts = jnp.asarray(rays_o + rays_d * depth_s[:, None])
+            visible = np.asarray(reprojection_visible(
+                pts, prev_w2c, slam.fx, slam.fy, slam.cx, slam.cy, H, W))
+            mask_add = ~visible  # new territory
+            for level in ("fine", "mid"):
+                n = npc.add_neural_points(
+                    rays_o, rays_d, depth_s, color_s, level,
+                    dynamic_radius=r_add[level][jj, ii], valid=mask_add,
+                    record_input=(level == "fine"))
+                if level == "fine":
+                    total_fine += n
+            # overlap batch: 1000 extra pixels restricted to seen territory
+            ii2, jj2 = self._sample_valid(frame.depth, 1000)
+            dirs2 = np.stack([(ii2 - slam.cx) / slam.fx,
+                              -(jj2 - slam.cy) / slam.fy,
+                              -np.ones_like(ii2, np.float64)], -1).astype(np.float32)
+            rays_d2 = (dirs2 @ c2w[:3, :3].T).astype(np.float32)
+            rays_o2 = np.broadcast_to(c2w[:3, 3], rays_d2.shape).astype(np.float32)
+            depth2 = frame.depth[jj2, ii2]
+            color2 = frame.color[jj2, ii2]
+            pts2 = jnp.asarray(rays_o2 + rays_d2 * depth2[:, None])
+            visible2 = np.asarray(reprojection_visible(
+                pts2, prev_w2c, slam.fx, slam.fy, slam.cx, slam.cy, H, W))
+            for level in ("fine", "mid"):
+                n = npc.add_neural_points(
+                    rays_o2, rays_d2, depth2, color2, level,
+                    dynamic_radius=r_add[level][jj2, ii2], valid=visible2,
+                    record_input=(level == "fine"))
+                if level == "fine":
+                    total_fine += n
+        else:
+            for level in ("fine", "mid"):
+                n = npc.add_neural_points(
+                    rays_o, rays_d, depth_s, color_s, level,
+                    dynamic_radius=r_add[level][jj, ii],
+                    record_input=(level == "fine"))
+                if level == "fine":
+                    total_fine += n
+        return int(total_fine)
+
+    # -- window assembly ----------------------------------------------------
+    def select_window(self, idx, frame, c2w):
+        """Keyframe ids to optimize, ending with [last_kf, current]
+        (Mapper.py:346-363)."""
+        slam = self.slam
+        if len(self.keyframe_dict) == 0:
+            frames = []
+        elif self.kf_selection_method == "global":
+            num = self.window_size - 2
+            frames = list(range(max(0, len(self.keyframe_dict) - 1 - num),
+                                len(self.keyframe_dict) - 1))
+        else:
+            frames = keyframe_selection_overlap(
+                self.rng, frame.depth, c2w,
+                [kf["est_c2w"] for kf in self.keyframe_dict[:-1]],
+                self.window_size - 2, slam.fx, slam.fy, slam.cx, slam.cy)
+        if len(self.keyframe_list) > 0:
+            frames = frames + [len(self.keyframe_list) - 1]
+        frames = frames + [-1]
+        return frames
+
+    # -- main ---------------------------------------------------------------
+    def map(self, idx: int, frame, npc, params, exposure_feat, key, c2w,
+            F_max: Optional[int] = None):
+        """Map one frame.  Returns (params, exposure_feat, info)."""
+        slam = self.slam
+        H, W = frame.depth.shape
+        init = idx == 0
+
+        r_add, r_query = IM.dynamic_radii(
+            frame.color, self.radius_hierarchy, self.radius_query_ratio,
+            self.color_grad_threshold)
+
+        window = self.select_window(idx, frame, c2w)
+        if getattr(self.cfg["mapping"], "save_selected_keyframes_info", True):
+            info_list = []
+            for f in window:
+                fi = self.keyframe_list[f] if f != -1 else idx
+                info_list.append({"idx": int(fi)})
+            self.selected_keyframes[idx] = info_list
+
+        frame_pts_add = self.add_points_for_frame(idx, frame, c2w, npc, r_add)
+
+        # iteration budget (Mapper.py:605-608) with bucketing
+        n_joint = self.iters_first if init else self.iters
+        if self.more_iters_when_adding and idx > 0:
+            n = int(np.clip(n_joint * frame_pts_add / 300,
+                            int(self.min_iter_ratio * n_joint), 2 * n_joint))
+            n_joint = bucket_iters(n, self.iters)
+        stage_ids, lr_table = build_schedule(
+            n_joint, self.mid_iter_ratio, self.geo_iter_ratio, init,
+            self.geo_iter_first, self.lr_cfg)
+
+        # window stacks, padded to F_max
+        F_actual = len(window)
+        if F_max is None:
+            F_max = max(self.window_size + 2, F_actual)
+        colors = np.zeros((F_max, H, W, 3), np.float32)
+        depths = np.zeros((F_max, H, W), np.float32)
+        c2ws = np.tile(np.eye(4, dtype=np.float32), (F_max, 1, 1))
+        rqm = np.zeros((F_max, H, W), np.float32)
+        rqf = np.zeros((F_max, H, W), np.float32)
+        pools = np.zeros((F_max, H * W), np.int32)
+        pool_lens = np.ones((F_max,), np.int32)
+        expo = np.zeros((F_max, self.cfg["model"]["exposure_dim"]), np.float32)
+        active = np.zeros((F_max,), bool)
+
+        for slot, f in enumerate(window):
+            if f == -1:
+                col, dep, pose = frame.color, frame.depth, c2w
+                rm, rf = r_query["mid"], r_query["fine"]
+                ef = np.asarray(exposure_feat)
+            else:
+                kf = self.keyframe_dict[f]
+                col, dep, pose = kf["color"], kf["depth"], kf["est_c2w"]
+                rm, rf = kf["r_query_mid"], kf["r_query_fine"]
+                ef = kf.get("exposure_feat", np.zeros_like(np.asarray(exposure_feat)))
+            colors[slot] = col
+            depths[slot] = dep
+            c2ws[slot] = pose
+            rqm[slot] = rm
+            rqf[slot] = rf
+            expo[slot] = ef
+            pool = IM.valid_pixel_pool(dep, 0, H, 0, W)
+            if pool.size == 0:
+                pool = np.zeros((1,), np.int64)
+            pools[slot, : pool.size] = pool
+            pool_lens[slot] = pool.size
+            active[slot] = True
+
+        # optimizable pytree
+        opt_color_dec = not self.fix_color_decoder
+        opt_geo_dec = not (self.fix_geo_mid and self.fix_geo_fine)
+        lv_mid, lv_fine = npc.levels["mid"], npc.levels["fine"]
+        opt_params = {
+            "geo_mid": lv_mid.geo, "geo_fine": lv_fine.geo,
+            "col_mid": lv_mid.col, "col_fine": lv_fine.col,
+        }
+        if opt_color_dec or opt_geo_dec:
+            opt_params["dec"] = {}
+            if opt_color_dec:
+                opt_params["dec"]["col_mid"] = params["col_mid"]
+                opt_params["dec"]["col_fine"] = params["col_fine"]
+            if opt_geo_dec:
+                opt_params["dec"]["geo_mid"] = params["geo_mid"]
+                opt_params["dec"]["geo_fine"] = params["geo_fine"]
+        if self.use_exposure:
+            opt_params["expo_feat"] = jnp.asarray(exposure_feat)
+
+        n_rays = self.mapping_pixels
+
+        opt_params, losses = map_scan(
+            params, slam.mcfg, self.rcfg, opt_params, key,
+            jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
+            jnp.asarray(rqm), jnp.asarray(rqf),
+            jnp.asarray(pools), jnp.asarray(pool_lens),
+            jnp.asarray(expo), jnp.asarray(active),
+            lv_mid.pos, lv_mid.count, lv_fine.pos, lv_fine.count,
+            jnp.asarray(stage_ids), jnp.asarray(lr_table),
+            jnp.int32(F_actual),
+            n_rays=n_rays, F_max=F_max, H=H, W=W,
+            fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
+            n_iters=int(n_joint), use_exposure=self.use_exposure,
+            opt_color_dec=opt_color_dec, opt_geo_dec=opt_geo_dec,
+            w_color=self.w_color)
+
+        # write features back (Mapper.py:923-933)
+        npc.update_geo_feats(opt_params["geo_mid"], "mid")
+        npc.update_geo_feats(opt_params["geo_fine"], "fine")
+        npc.update_col_feats(opt_params["col_mid"], "mid")
+        npc.update_col_feats(opt_params["col_fine"], "fine")
+        new_params = dict(params)
+        if opt_color_dec:
+            new_params["col_mid"] = opt_params["dec"]["col_mid"]
+            new_params["col_fine"] = opt_params["dec"]["col_fine"]
+        if opt_geo_dec:
+            new_params["geo_mid"] = opt_params["dec"]["geo_mid"]
+            new_params["geo_fine"] = opt_params["dec"]["geo_fine"]
+        new_expo = (np.asarray(opt_params["expo_feat"])
+                    if self.use_exposure else exposure_feat)
+
+        self.prev_c2w = c2w
+        loss_np = np.asarray(losses)
+        info = {
+            "frame_pts_add": frame_pts_add,
+            "n_joint_iters": int(n_joint),
+            "geo_loss_last": float(loss_np[-1, 0]),
+            "color_loss_last": float(loss_np[-1, 1]),
+            "window": window,
+            "r_query": r_query,
+        }
+        return new_params, new_expo, info
+
+    # -- keyframe registration (Mapper.py:1161-1174) ------------------------
+    def maybe_register_keyframe(self, idx, frame, c2w, gt_c2w, r_query,
+                                exposure_feat, n_img):
+        is_kf = (idx % self.keyframe_every == 0 or idx == n_img - 2)
+        if not is_kf or idx in self.keyframe_list:
+            return False
+        if not np.isfinite(gt_c2w).all():
+            return False
+        self.keyframe_list.append(idx)
+        self.keyframe_dict.append({
+            "idx": idx,
+            "color": frame.color.copy(),
+            "depth": frame.depth.copy(),
+            "gt_c2w": gt_c2w.copy(),
+            "est_c2w": c2w.copy(),
+            "r_query_mid": r_query["mid"].copy(),
+            "r_query_fine": r_query["fine"].copy(),
+            "exposure_feat": np.asarray(exposure_feat).copy(),
+        })
+        return True

@@ -1,0 +1,279 @@
+"""PointSLAM orchestrator — single host loop, no processes.
+
+Reference: src/Point_SLAM.py (two mp.Process workers + a Manager process
+sharing tensors and an RPC'd point cloud, Point_SLAM.py:158-192, 297-319).
+TPU re-design (SURVEY.md §7 delta 1 and P1-P4): the tracker and mapper are
+jitted steps interleaved deterministically by one host loop.  This exactly
+realises the reference's default ``sync_method: strict`` schedule (tracker
+waits for the map of frame idx-1 at window starts; mapper maps every
+``every_frame``-th tracked frame); 'loose'/'free' relax ordering only across
+processes, so in a single-program design they coincide with strict and are
+accepted as aliases.
+
+State plane: shared tensors/Manager RPC (P2/P3) become plain members — pose
+lists (numpy), decoder params + point levels (device pytrees).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .mapper import Mapper
+from .models import decoder as Dec
+from .state import NeuralPointCloud
+from .tracker import Tracker
+from .utils.datasets import get_dataset
+from .utils.logger import Logger
+
+
+class PointSLAM:
+    def __init__(self, cfg: dict, args=None):
+        self.cfg = cfg
+        self.verbose = cfg.get("verbose", True)
+        self.output = cfg["data"]["output"]
+        self.ckptsdir = os.path.join(self.output, "ckpts")
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(self.ckptsdir, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+        os.makedirs(os.path.join(self.output, "tracking_vis"), exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mapping_vis"), exist_ok=True)
+
+        cam = cfg["cam"]
+        self.H, self.W = cam["H"], cam["W"]
+        self.fx, self.fy = cam["fx"], cam["fy"]
+        self.cx, self.cy = cam["cx"], cam["cy"]
+        self.update_cam()
+
+        self.scale = cfg["scale"]
+        self.mcfg = Dec.ModelConfig.from_cfg(cfg)
+        seed = cfg.get("seed", 1219)
+        self.key = jax.random.PRNGKey(seed)
+        self.params = Dec.init_nicer(self._next_key(), self.mcfg)
+        self.load_pretrain()
+
+        self.frame_reader = get_dataset(cfg, scale=self.scale)
+        self.n_img = len(self.frame_reader)
+        self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.exposure_feat = 0.01 * np.asarray(
+            jax.random.normal(self._next_key(),
+                              (cfg["model"]["exposure_dim"],)), np.float32)
+
+        self.npc = NeuralPointCloud(cfg)
+        self.tracker = Tracker(cfg, self)
+        self.mapper = Mapper(cfg, self)
+        self.logger = Logger(cfg, self)
+        from .utils.visualizer import Visualizer
+        self.tracker_vis = Visualizer(
+            cfg["tracking"]["vis_freq"], cfg["tracking"]["vis_inside_freq"],
+            os.path.join(self.output, "tracking_vis"), self,
+            self.tracker.rcfg, self.verbose)
+        self.mapper_vis = Visualizer(
+            cfg["mapping"]["vis_freq"], cfg["mapping"]["vis_inside_freq"],
+            os.path.join(self.output, "mapping_vis"), self,
+            self.mapper.rcfg, self.verbose)
+        self.save_rendered_image = cfg["mapping"].get("save_rendered_image",
+                                                      False)
+        self.every_frame = cfg["mapping"]["every_frame"]
+        self.ckpt_freq = cfg["mapping"]["ckpt_freq"]
+        self.keyframe_every = cfg["mapping"]["keyframe_every"]
+        self.end_correction = cfg["mapping"]["end_correction"]
+        self.metrics_path = os.path.join(self.output, "metrics.jsonl")
+        self._metrics_f = None
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def update_cam(self):
+        """Adjust intrinsics for crop_size / crop_edge
+        (Point_SLAM.py:215-235)."""
+        cfg = self.cfg
+        if "crop_size" in cfg["cam"]:
+            ch, cw = cfg["cam"]["crop_size"]
+            sx, sy = cw / self.W, ch / self.H
+            self.fx *= sx
+            self.fy *= sy
+            self.cx *= sx
+            self.cy *= sy
+            self.H, self.W = ch, cw
+        e = cfg["cam"].get("crop_edge", 0) or 0
+        if e > 0:
+            self.H -= 2 * e
+            self.W -= 2 * e
+            self.cx -= e
+            self.cy -= e
+
+    def load_pretrain(self):
+        """Load converted ConvONet geometry-decoder weights if present.
+
+        The reference maps the checkpoint's 'coarse' decoder into BOTH
+        geo_decoder_mid and geo_decoder_fine (Point_SLAM.py:237-260).  We
+        consume an .npz produced by tools/convert_pretrained.py; absent
+        file -> random init (the geometry decoders are frozen during
+        mapping either way, so features absorb the representation).
+        """
+        path = self.cfg.get("pretrained_decoders", {}).get("middle_fine")
+        if not path or not os.path.exists(path):
+            return
+        import numpy as _np
+        data = _np.load(path)
+        for level in ("geo_mid", "geo_fine"):
+            core = self.params[level]["core"]
+            for i in range(len(core["layers"])):
+                core["layers"][i]["w"] = jax.numpy.asarray(data[f"pts_linears.{i}.w"])
+                core["layers"][i]["b"] = jax.numpy.asarray(data[f"pts_linears.{i}.b"])
+                core["fc_c"][i]["w"] = jax.numpy.asarray(data[f"fc_c.{i}.w"])
+                core["fc_c"][i]["b"] = jax.numpy.asarray(data[f"fc_c.{i}.b"])
+            core["out"]["w"] = jax.numpy.asarray(data["output_linear.w"])
+            core["out"]["b"] = jax.numpy.asarray(data["output_linear.b"])
+            if "embedder.B" in data:
+                self.params[level]["B"] = jax.numpy.asarray(data["embedder.B"])
+        if self.verbose:
+            print(f"Loaded pretrained geometry decoders from {path}")
+
+    def _log_metrics(self, record: dict):
+        if self._metrics_f is None:
+            self._metrics_f = open(self.metrics_path, "a")
+        self._metrics_f.write(json.dumps(record) + "\n")
+        self._metrics_f.flush()
+
+    # ------------------------------------------------------------------
+    def _map_frame(self, idx: int, frame, c2w: np.ndarray):
+        t0 = time.perf_counter()
+        self.params, self.exposure_feat, info = self.mapper.map(
+            idx, frame, self.npc, self.params, self.exposure_feat,
+            self._next_key(), c2w)
+        dt = time.perf_counter() - t0
+        if self.verbose:
+            print(f"[map] frame {idx}: +{info['frame_pts_add']} locs, "
+                  f"{info['n_joint_iters']} iters, geo {info['geo_loss_last']:.3f}, "
+                  f"col {info['color_loss_last']:.3f} ({dt:.2f}s)  pts "
+                  f"{self.npc.pts_num()}")
+        self._log_metrics({"event": "map", "idx": idx, "time_s": dt,
+                           "pts": self.npc.pts_num(),
+                           "geo_loss": info["geo_loss_last"],
+                           "color_loss": info["color_loss_last"],
+                           "iters": info["n_joint_iters"]})
+        no_first = self.cfg["mapping"]["no_vis_on_first_frame"] and idx == 0
+        if not no_first:
+            self.mapper_vis.vis(idx, info["n_joint_iters"] - 1, frame.depth,
+                                frame.color, c2w, self.npc, self.params,
+                                info["r_query"], self.exposure_feat,
+                                save_rendered_image=self.save_rendered_image)
+        self.mapper.maybe_register_keyframe(
+            idx, frame, c2w, self.gt_c2w_list[idx], info["r_query"],
+            self.exposure_feat, self.n_img)
+        return info
+
+    def _save_point_clouds(self, final: bool):
+        if len(self.npc.input_pos()) == 0:
+            return
+        cloud_pos = np.asarray(self.npc.input_pos(), np.float32)
+        cloud_rgb = np.asarray(self.npc.input_rgb(), np.float32)
+        if final:
+            np.save(f"{self.output}/final_point_cloud",
+                    np.hstack([cloud_pos, cloud_rgb]))
+            for lvl in self.npc.levels:
+                n = int(self.npc.levels[lvl].count)
+                np.save(f"{self.output}/npc_cloud_{lvl}",
+                        np.asarray(self.npc.levels[lvl].pos[:n]))
+            from .utils.ply import write_ply_points
+            write_ply_points(f"{self.output}/final_point_cloud.ply",
+                             cloud_pos, cloud_rgb / 255.0)
+            if self.verbose:
+                print("Saved point cloud and point normals.")
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Strict-sync interleaved tracking+mapping over the sequence
+        (replaces Point_SLAM.run + both worker loops)."""
+        reader = self.frame_reader
+        n = self.n_img
+        track_times, map_times = [], []
+
+        for idx in range(n):
+            frame = reader[idx]
+            self.gt_c2w_list[idx] = frame.c2w
+
+            # ---- tracking (frames 0-1 copy GT, Tracker.py:366-367)
+            t0 = time.perf_counter()
+            c2w, tinfo, op = self.tracker.track(
+                idx, frame, self.npc, self.params, self.exposure_feat,
+                self._next_key(), self.estimate_c2w_list, frame.c2w)
+            ttime = time.perf_counter() - t0
+            if op is not None and self.tracker.use_exposure:
+                self.exposure_feat = np.asarray(op["expo_feat"])
+                self.params = dict(self.params)
+                self.params["col_mid"] = dict(self.params["col_mid"],
+                                              exposure=op["expo_mid"])
+                self.params["col_fine"] = dict(self.params["col_fine"],
+                                               exposure=op["expo_fine"])
+            self.estimate_c2w_list[idx] = c2w
+            if idx > 1 and self.verbose and "loss_best" in tinfo:
+                print(f"[track] frame {idx}: loss {tinfo['loss_init']:.2f}->"
+                      f"{tinfo['loss_best']:.2f} quad_err "
+                      f"{tinfo['cam_error_quad']:.4f} pos_err "
+                      f"{tinfo['cam_error_pos']:.4f} ({ttime:.2f}s)")
+            if not tinfo.get("skipped"):
+                track_times.append(ttime)
+                self._log_metrics({"event": "track", "idx": idx,
+                                   "time_s": ttime,
+                                   "loss": tinfo.get("loss_best"),
+                                   "pos_err": tinfo.get("cam_error_pos")})
+                if idx % self.cfg["tracking"]["vis_freq"] == 0:
+                    self.tracker_vis.vis(
+                        idx, self.tracker.iters - 1, frame.depth, frame.color,
+                        c2w, self.npc, self.params, tinfo["r_query"],
+                        self.exposure_feat)
+
+            # ---- mapping every Nth frame + final (strict schedule)
+            if idx % self.every_frame == 0 or idx == n - 1:
+                t0 = time.perf_counter()
+                self._map_frame(idx, frame, self.estimate_c2w_list[idx])
+                map_times.append(time.perf_counter() - t0)
+
+            if (idx > 0 and idx % self.ckpt_freq == 0) or idx == n - 1:
+                self.logger.log(idx, self.npc, self.params,
+                                self.exposure_feat,
+                                self.mapper.keyframe_list,
+                                self.mapper.keyframe_dict,
+                                self.mapper.selected_keyframes,
+                                self.estimate_c2w_list, self.gt_c2w_list)
+            if idx % 300 == 0 or idx == n - 1:
+                self._save_point_clouds(final=(idx == n - 1))
+
+        # ---- end-of-sequence correction + evaluation
+        if self.end_correction:
+            try:
+                from .tools.end_correction import apply_end_correction
+                apply_end_correction(self)
+            except Exception as e:  # noqa: BLE001 — mirror reference's guard
+                print(f"End correction failed: {e}")
+
+        results = None
+        try:
+            from .tools.eval_ate import evaluate_trajectory
+            results = evaluate_trajectory(
+                self.gt_c2w_list, self.estimate_c2w_list, self.n_img - 1,
+                self.scale, plot=f"{self.output}/eval_ate_aligned.png",
+                use_alignment=True)
+            print("ate_rmse:", results)
+            self._log_metrics({"event": "ate", **{
+                k: float(v) for k, v in results.items()}})
+        except Exception as e:  # noqa: BLE001
+            print(f"Failed to evaluate trajectory: {e}")
+
+        summary = {
+            "track_ms_mean": 1e3 * float(np.mean(track_times)) if track_times else 0.0,
+            "map_ms_mean": 1e3 * float(np.mean(map_times)) if map_times else 0.0,
+            "n_frames": n,
+        }
+        self._log_metrics({"event": "summary", **summary})
+        return results, summary

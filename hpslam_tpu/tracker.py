@@ -1,0 +1,256 @@
+"""Camera tracker — per-frame pose optimization as one jitted program.
+
+Reference: src/Tracker.py (488 LoC, a torch loop with 100 optimizer steps,
+each doing host-side pixel sampling, a Manager-RPC faiss query and a
+``loss.backward()``).  TPU re-design: the whole per-frame optimization is a
+single ``lax.scan`` — pixel sampling (jax.random), ray generation, the
+coarse-to-fine two-stage schedule (first half 'color_mid', second half
+'color_fine', Tracker.py:40,190-211), robust masking, Adam on the 7-d
+camera tensor, and best-pose selection (Tracker.py:441-445) all run
+on-device with zero host round-trips.
+
+Gradient structure matches the reference: the kNN is searched on detached
+sample positions, distances are re-derived differentiably from gathered
+cloud positions (is_tracker mode), and only the camera tensor (+ exposure
+latent and exposure MLPs when ``encode_exposure``) receives updates.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import decoder as Dec
+from .ops import geometry as G
+from .ops import image as IM
+from .ops import optim as Opt
+from .renderer import RenderConfig, render_rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mcfg", "rcfg", "pixels", "iters_mid", "iters_fine",
+                     "W", "separate_lr", "use_exposure", "w_color",
+                     "use_color", "handle_dynamic", "fx", "fy", "cx", "cy"))
+def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
+                cam_init, key,
+                gt_color, gt_depth, r_query_mid, r_query_fine,
+                pool, pool_len,
+                pos_mid, count_mid, geo_mid, col_mid,
+                pos_fine, count_fine, geo_fine, col_fine,
+                exposure_feat,
+                pixels: int, iters_mid: int, iters_fine: int,
+                W: int, fx: float, fy: float, cx: float, cy: float,
+                cam_lr: float, separate_lr: bool, use_exposure: bool,
+                w_color: float, use_color: bool, handle_dynamic: bool):
+    """Optimize the camera for one frame.
+
+    Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
+    opt_out carries the updated exposure latent/MLPs to persist.
+    """
+    # --- optimizable pytree (the reference's param groups, Tracker.py:383-415)
+    if separate_lr:
+        opt_params = {"quad": cam_init[:4], "T": cam_init[4:]}
+        lr_tree = {"quad": cam_lr * 0.2, "T": cam_lr}
+    else:
+        opt_params = {"cam": cam_init}
+        lr_tree = {"cam": cam_lr}
+    if use_exposure:
+        opt_params["expo_feat"] = exposure_feat
+        opt_params["expo_mid"] = params["col_mid"]["exposure"]
+        opt_params["expo_fine"] = params["col_fine"]["exposure"]
+        lr_tree["expo_feat"] = 0.001
+        lr_tree["expo_mid"] = jax.tree.map(lambda _: 0.001,
+                                           params["col_mid"]["exposure"])
+        lr_tree["expo_fine"] = jax.tree.map(lambda _: 0.001,
+                                            params["col_fine"]["exposure"])
+
+    def assemble(op):
+        cam = jnp.concatenate([op["quad"], op["T"]]) if separate_lr else op["cam"]
+        pr = params
+        if use_exposure:
+            pr = dict(params)
+            pr["col_mid"] = dict(params["col_mid"], exposure=op["expo_mid"])
+            pr["col_fine"] = dict(params["col_fine"], exposure=op["expo_fine"])
+        expo = op["expo_feat"] if use_exposure else None
+        return cam, pr, expo
+
+    def loss_fn(op, k, stage, level_arrays, r_query_map):
+        cam, pr, expo = assemble(op)
+        c2w = G.get_camera_from_tensor(cam)
+        idx = pool[jax.random.randint(k, (pixels,), 0, pool_len)]
+        i = (idx % W).astype(jnp.float32)
+        j = (idx // W).astype(jnp.float32)
+        ji = (idx // W, idx % W)
+        rays_o, rays_d = G.get_rays_from_uv(i, j, c2w, fx, fy, cx, cy)
+        d_gt = gt_depth[ji]
+        c_gt = gt_color[ji]
+        rq = r_query_map[ji]
+        pos, count, geo, col = level_arrays
+
+        inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
+                                     1.2 * jnp.max(d_gt))
+        depth, unc, color, _ = render_rays(
+            pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
+            pos, count, geo, col, rq, is_tracker=True, exposure_feat=expo)
+        unc = jax.lax.stop_gradient(unc)
+        ok = inside & jnp.isfinite(depth) & jnp.isfinite(unc)
+        tmp = jnp.abs(d_gt - depth) / jnp.sqrt(unc + 1e-10)
+        if handle_dynamic:
+            # outlier rejection vs 10x mean residual (Tracker.py:216-218)
+            tmp_mean = jnp.sum(jnp.where(ok, tmp, 0.0)) / jnp.maximum(
+                jnp.sum(ok), 1)
+            mask = (tmp < 10.0 * tmp_mean) & (d_gt > 0)
+        else:
+            ad = jnp.abs(d_gt - depth)
+            med = jnp.median(jnp.where(ok, ad, jnp.nan))
+            mask = (ad < 10.0 * jnp.nan_to_num(med, nan=1e9)) & (d_gt > 0)
+        mask = mask & ok
+        geo_loss = jnp.sum(jnp.where(mask, jnp.clip(tmp, 0.0, 1e3), 0.0))
+        loss = geo_loss
+        if use_color:
+            col_loss = jnp.sum(
+                jnp.where(mask[:, None], jnp.abs(c_gt - color), 0.0))
+            loss = loss + w_color * col_loss
+        return loss
+
+    mid_arrays = (pos_mid, count_mid, geo_mid, col_mid)
+    fine_arrays = (pos_fine, count_fine, geo_fine, col_fine)
+
+    def make_step(stage, level_arrays, r_query_map):
+        def step(carry, k):
+            op, ostate, best_loss, best_cam = carry
+            loss, grads = jax.value_and_grad(
+                lambda o: loss_fn(o, k, stage, level_arrays, r_query_map))(op)
+            op, ostate = Opt.update(grads, ostate, op, lr_tree)
+            cam = (jnp.concatenate([op["quad"], op["T"]])
+                   if separate_lr else op["cam"])
+            better = loss < best_loss
+            best_loss = jnp.where(better, loss, best_loss)
+            best_cam = jnp.where(better, cam, best_cam)
+            return (op, ostate, best_loss, best_cam), loss
+        return step
+
+    ostate = Opt.init(opt_params)
+    carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
+    keys_mid = jax.random.split(key, iters_mid + iters_fine)
+    carry, losses_mid = jax.lax.scan(
+        make_step("color_mid", mid_arrays, r_query_mid), carry,
+        keys_mid[:iters_mid])
+    carry, losses_fine = jax.lax.scan(
+        make_step("color_fine", fine_arrays, r_query_fine), carry,
+        keys_mid[iters_mid:])
+    op, _, best_loss, best_cam = carry
+    losses = jnp.concatenate([losses_mid, losses_fine])
+    return best_cam, best_loss, losses[0], losses[-1], op
+
+
+class Tracker:
+    """Host-side per-frame driver: dynamic radii, pixel pools, pose init,
+    and the jitted track_frame call."""
+
+    def __init__(self, cfg: dict, slam):
+        self.cfg = cfg
+        self.slam = slam
+        t = cfg["tracking"]
+        self.iters = t["iters"]
+        self.pixels = t["pixels"]
+        self.cam_lr = t["lr"]
+        self.separate_lr = t["separate_LR"]
+        self.w_color = t["w_color_loss"]
+        self.use_color = t["use_color_in_tracking"]
+        self.handle_dynamic = t["handle_dynamic"]
+        self.sample_with_color_grad = t["sample_with_color_grad"]
+        self.ignore_edge_W = t["ignore_edge_W"]
+        self.ignore_edge_H = t["ignore_edge_H"]
+        self.const_speed = t["const_speed_assumption"]
+        self.gt_camera = t["gt_camera"]
+        self.depth_limit = 5.0 if t["depth_limit"] else None
+        self.ratio_iter_mid = 0.5  # Tracker.py:40
+        self.use_exposure = cfg["model"]["encode_exposure"]
+        self.radius_hierarchy = cfg["pointcloud"]["radius_hierarchy"]
+        self.radius_query_ratio = cfg["pointcloud"]["radius_query_ratio"]
+        self.color_grad_threshold = cfg["pointcloud"]["color_grad_threshold"]
+        self.rcfg = RenderConfig.from_cfg(cfg, "sigmoid_coef_tracker")
+
+    def prepare_radii(self, color: np.ndarray):
+        """Per-frame dynamic radius maps (Tracker.py:297-325)."""
+        return IM.dynamic_radii(color, self.radius_hierarchy,
+                                self.radius_query_ratio,
+                                self.color_grad_threshold)
+
+    def build_pool(self, color: np.ndarray, depth: np.ndarray) -> np.ndarray:
+        H, W = depth.shape
+        He, We = self.ignore_edge_H, self.ignore_edge_W
+        if self.sample_with_color_grad:
+            pool = IM.top_grad_index_pool(
+                color, self.pixels, He, H - He, We, W - We,
+                gt_depth=depth, depth_limit=self.depth_limit is not None)
+        else:
+            pool = IM.valid_pixel_pool(depth, He, H - He, We, W - We,
+                                       self.depth_limit)
+        return pool
+
+    def initial_pose(self, idx: int, estimate_c2w_list) -> np.ndarray:
+        """Constant-speed motion model (Tracker.py:371-377)."""
+        pre = estimate_c2w_list[idx - 1]
+        if self.const_speed and idx >= 2:
+            prev_prev = estimate_c2w_list[idx - 2]
+            delta = pre @ np.linalg.inv(prev_prev)
+            return delta @ pre
+        return pre.copy()
+
+    def track(self, idx: int, frame, npc, params, exposure_feat, key,
+              estimate_c2w_list, gt_c2w: np.ndarray):
+        """Track one frame; returns (c2w 4x4, info dict, updated opt state)."""
+        slam = self.slam
+        H, W = frame.depth.shape
+        r_add, r_query = self.prepare_radii(frame.color)
+
+        if idx <= 1 or self.gt_camera:
+            return gt_c2w.copy(), {"skipped": True}, None
+
+        est_init = self.initial_pose(idx, estimate_c2w_list)
+        cam_init = np.asarray(G.get_tensor_from_camera(est_init))
+        gt_cam = np.asarray(G.get_tensor_from_camera(gt_c2w))
+        if float(np.dot(cam_init[:4], gt_cam[:4])) < 0:
+            cam_init[:4] *= -1  # quaternion sign gauge (Tracker.py:381-382)
+
+        pool = self.build_pool(frame.color, frame.depth)
+        pool_padded = np.zeros((H * W,), np.int32)
+        pool_padded[: pool.shape[0]] = pool
+
+        lv_mid, lv_fine = npc.levels["mid"], npc.levels["fine"]
+        iters_mid = int(self.iters * self.ratio_iter_mid)
+        iters_fine = self.iters - iters_mid
+
+        best_cam, best_loss, first_loss, last_loss, op = track_frame(
+            params, slam.mcfg, self.rcfg,
+            jnp.asarray(cam_init, jnp.float32), key,
+            jnp.asarray(frame.color), jnp.asarray(frame.depth),
+            jnp.asarray(r_query["mid"]), jnp.asarray(r_query["fine"]),
+            jnp.asarray(pool_padded), jnp.int32(max(pool.shape[0], 1)),
+            lv_mid.pos, lv_mid.count, lv_mid.geo, lv_mid.col,
+            lv_fine.pos, lv_fine.count, lv_fine.geo, lv_fine.col,
+            jnp.asarray(exposure_feat),
+            pixels=self.pixels, iters_mid=iters_mid, iters_fine=iters_fine,
+            W=W, fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
+            cam_lr=self.cam_lr, separate_lr=self.separate_lr,
+            use_exposure=self.use_exposure, w_color=self.w_color,
+            use_color=self.use_color, handle_dynamic=self.handle_dynamic)
+
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :] = np.asarray(G.get_camera_from_tensor(best_cam))
+        info = {
+            "loss_init": float(first_loss),
+            "loss_best": float(best_loss),
+            "cam_error_quad": float(
+                np.abs(gt_cam[:4] - np.asarray(best_cam)[:4]).mean()),
+            "cam_error_pos": float(
+                np.abs(gt_cam[4:] - np.asarray(best_cam)[4:]).mean()),
+            "r_query": r_query,
+        }
+        return c2w, info, op

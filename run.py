@@ -1,0 +1,38 @@
+#!/usr/bin/env python
+"""CLI entry point (public surface parity with the reference run.py:
+``python run.py configs/ScanNet/scene0059.yaml [--flags]``)."""
+import os
+import sys
+
+
+def main():
+    # honour JAX_PLATFORMS even though the axon sitecustomize registers the
+    # TPU plugin unconditionally (its registration overrides the env var)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from hpslam_tpu import config as C
+
+    parser = C.build_arg_parser()
+    args = parser.parse_args()
+    default = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "configs/point_slam.yaml")
+    cfg = C.load_config(args.config, default)
+    cfg = C.apply_args(cfg, args)
+
+    # deterministic seeding (reference pins seed 1219 at every entry point;
+    # here one PRNG key tree derives everything)
+    import numpy as np
+    np.random.seed(cfg.get("seed", 1219))
+
+    from hpslam_tpu.slam import PointSLAM
+    slam = PointSLAM(cfg, args)
+    print(f"INFO: output folder is {slam.output}")
+    results, summary = slam.run()
+    print("summary:", summary)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
