@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Headline benchmark: amortized per-frame tracking+mapping wall-clock at the
+ScanNet operating point (BASELINE.md / BASELINE.json).
+
+Workload (matches configs/ScanNet/scannet.yaml budgets exactly):
+  * tracking: 100 iterations x 5000 rays/iter, coarse-to-fine (50 mid / 50
+    fine), pose+exposure optimization — one jitted lax.scan per frame.
+  * mapping: 600 iterations x 10000 rays/iter over a 20-frame keyframe
+    window, 4-stage schedule, feature+decoder optimization — one jitted scan
+    per mapped frame, amortized over every_frame=5.
+  * scene state: 300k fine + 60k mid points, c_dim=32, k=8 neighbours,
+    N_surface=5.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline}.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
+REF_ESTIMATE_MS is a documented estimate of the reference's amortized
+per-frame cost on its single-GPU setup (~100 tracking iters + ~120 amortized
+mapping iters, each costing tens of ms across faiss RPC + two-MLP render +
+backward; the 80 h Euler allocation for ~5.5k-frame scenes implies multiple
+seconds per frame).  vs_baseline = REF_ESTIMATE_MS / measured_ms.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_ESTIMATE_MS = 10_000.0
+
+H, W = 460, 620          # ScanNet post-crop
+FX, FY, CX, CY = 577.59, 578.73, 308.9, 232.68
+N_FINE, N_MID = 300_000, 60_000
+CAP_FINE, CAP_MID = 1 << 19, 1 << 17
+TRACK_PIXELS, TRACK_ITERS = 5000, 100
+MAP_RAYS, MAP_ITERS, EVERY, WINDOW = 10_000, 600, 5, 20
+
+
+def build_state(rng, mcfg):
+    import jax.numpy as jnp
+
+    def level(n, cap, spread):
+        pos = np.zeros((cap, 3), np.float32)
+        pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-3, -1, n)  # rough wall band
+        pos[:n] = pts
+        geo = rng.normal(0, 0.1, (cap, mcfg.c_dim)).astype(np.float32)
+        col = rng.normal(0, 0.1, (cap, mcfg.c_dim)).astype(np.float32)
+        return (jnp.asarray(pos), jnp.int32(n), jnp.asarray(geo),
+                jnp.asarray(col))
+
+    return level(N_MID, CAP_MID, 0.3), level(N_FINE, CAP_FINE, 0.05)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hpslam_tpu.models import decoder as Dec
+    from hpslam_tpu.renderer import RenderConfig
+    from hpslam_tpu.tracker import track_frame
+    from hpslam_tpu.mapper import map_scan, build_schedule
+
+    rng = np.random.default_rng(1219)
+    mcfg = Dec.ModelConfig(encode_exposure=True,
+                           encode_rel_pos_in_col=False)  # ScanNet model cfg
+    rcfg = RenderConfig(near_end_surface=0.96, far_end_surface=1.04,
+                        sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    (mid, fine) = build_state(rng, mcfg)
+
+    depth = rng.uniform(0.5, 4.0, (H, W)).astype(np.float32)
+    color = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    rq_mid = np.full((H, W), 0.5, np.float32)
+    rq_fine = np.full((H, W), 0.1, np.float32)
+    pool = np.arange(H * W, dtype=np.int32)
+    expo = np.zeros((8,), np.float32)
+    cam = np.array([1, 0, 0, 0, 0.1, 0.05, 0.2], np.float32)
+
+    track_args = dict(
+        pixels=TRACK_PIXELS, iters_mid=TRACK_ITERS // 2,
+        iters_fine=TRACK_ITERS - TRACK_ITERS // 2, W=W,
+        fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
+        use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True)
+
+    def run_track(key):
+        out = track_frame(
+            params, mcfg, rcfg, jnp.asarray(cam), key,
+            jnp.asarray(color), jnp.asarray(depth),
+            jnp.asarray(rq_mid), jnp.asarray(rq_fine),
+            jnp.asarray(pool), jnp.int32(pool.size),
+            mid[0], mid[1], mid[2], mid[3],
+            fine[0], fine[1], fine[2], fine[3],
+            jnp.asarray(expo), **track_args)
+        jax.block_until_ready(out[0])
+        return out
+
+    # mapping window stacks
+    F = WINDOW
+    colors = np.broadcast_to(color, (F, H, W, 3)).copy()
+    depths = np.broadcast_to(depth, (F, H, W)).copy()
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    pools = np.broadcast_to(pool, (F, H * W)).copy()
+    pool_lens = np.full((F,), pool.size, np.int32)
+    expo_stack = np.zeros((F, 8), np.float32)
+    active = np.ones((F,), bool)
+    stage_ids, lr_table = build_schedule(MAP_ITERS, 0.5, 0.3, False, 200, {
+        "stage": {s: {"decoders_lr": 0.005 if "color" in s else 0.001,
+                      "geometry_mid_lr": 0.03 if "geometry" in s else 0.005,
+                      "geometry_fine_lr": 0.03 if "geometry" in s else 0.005,
+                      "color_lr": 0.0 if "geometry" in s else 0.005}
+                  for s in ("geometry_mid", "color_mid", "geometry_fine",
+                            "color_fine")},
+        "init": {}})
+
+    opt_params = {
+        "geo_mid": mid[2], "geo_fine": fine[2],
+        "col_mid": mid[3], "col_fine": fine[3],
+        "dec": {"col_mid": params["col_mid"], "col_fine": params["col_fine"]},
+        "expo_feat": jnp.asarray(expo),
+    }
+
+    def run_map(key, op):
+        op, losses = map_scan(
+            params, mcfg, rcfg, op, key,
+            jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
+            jnp.asarray(np.broadcast_to(rq_mid, (F, H, W)).copy()),
+            jnp.asarray(np.broadcast_to(rq_fine, (F, H, W)).copy()),
+            jnp.asarray(pools), jnp.asarray(pool_lens),
+            jnp.asarray(expo_stack), jnp.asarray(active),
+            mid[0], mid[1], fine[0], fine[1],
+            jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
+            n_rays=MAP_RAYS, F_max=F, H=H, W=W, fx=FX, fy=FY, cx=CX, cy=CY,
+            n_iters=MAP_ITERS, use_exposure=True, opt_color_dec=True,
+            opt_geo_dec=False, w_color=0.1)
+        jax.block_until_ready(losses)
+        return op, losses
+
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, 8)
+
+    # warmup / compile
+    run_track(keys[0])
+    op, _ = run_map(keys[1], opt_params)
+
+    n_rep = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.perf_counter()
+    for r in range(n_rep):
+        run_track(keys[2 + r % 4])
+    track_ms = (time.perf_counter() - t0) / n_rep * 1e3
+
+    t0 = time.perf_counter()
+    for r in range(max(1, n_rep - 2)):
+        op, _ = run_map(keys[3 + r % 4], op)
+    map_ms = (time.perf_counter() - t0) / max(1, n_rep - 2) * 1e3
+
+    per_frame_ms = track_ms + map_ms / EVERY
+    result = {
+        "metric": "per_frame_tracking+mapping_ms_scannet",
+        "value": round(per_frame_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(REF_ESTIMATE_MS / per_frame_ms, 2),
+        "detail": {"track_ms": round(track_ms, 2),
+                   "map_ms": round(map_ms, 2),
+                   "platform": str(__import__("jax").devices()[0]).strip()},
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,6 +58,11 @@ def _load():
     lib.icp_point_to_plane.argtypes = [
         f32p, ctypes.c_int64, f32p, f32p, ctypes.c_int64, ctypes.c_float,
         ctypes.c_int, f32p, f32p, f32p]
+    lib.bvh_build.restype = ctypes.c_int64
+    lib.bvh_build.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64]
+    lib.bvh_destroy.argtypes = [ctypes.c_int64]
+    lib.bvh_raycast.argtypes = [ctypes.c_int64, f32p, f32p, ctypes.c_int64,
+                                f32p]
     _lib = lib
     return lib
 
@@ -161,6 +166,34 @@ def estimate_normals(points: np.ndarray, k: int = 30,
         ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
     lib.estimate_normals(_fp(pts), pts.shape[0], k, vp, _fp(out))
     return out
+
+
+class MeshRaycaster:
+    """BVH ray-triangle intersection (replaces Open3D offscreen depth
+    rendering in eval_recon's virtual-view metric)."""
+
+    def __init__(self, verts: np.ndarray, faces: np.ndarray):
+        self.lib = _load()
+        self._v = _f32(verts)
+        self._f = np.ascontiguousarray(faces, dtype=np.int32)
+        self.h = self.lib.bvh_build(
+            _fp(self._v), self._v.shape[0],
+            self._f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._f.shape[0])
+
+    def cast(self, rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
+        """Returns t along each ray (>0) or -1 for a miss."""
+        ro = _f32(rays_o)
+        rd = _f32(rays_d)
+        out = np.empty((ro.shape[0],), np.float32)
+        self.lib.bvh_raycast(self.h, _fp(ro), _fp(rd), ro.shape[0], _fp(out))
+        return out
+
+    def __del__(self):
+        try:
+            self.lib.bvh_destroy(self.h)
+        except Exception:  # noqa: BLE001
+            pass
 
 
 def icp_point_to_plane(src: np.ndarray, tgt: np.ndarray,

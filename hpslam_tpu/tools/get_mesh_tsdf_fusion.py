@@ -1,0 +1,146 @@
+"""Offline meshing: re-render the estimated trajectory and TSDF-fuse it.
+
+Reference: src/tools/get_mesh_tsdf_fusion.py (Open3D ScalableTSDFVolume +
+marching cubes).  Here: the fused render_rays program re-renders every
+``render_every``-th frame along the estimated trajectory, and the native
+block-sparse TSDF + marching-tetrahedra extractor produces the mesh
+(voxel 5/512 m, sdf_trunc 0.04 — same constants,
+get_mesh_tsdf_fusion.py:231-266).
+
+Unlike the reference (which reloads per-frame dynamic-radius tensors from
+disk), the query-radius maps are recomputed from each frame's colour image —
+they are a deterministic function of it (Tracker.py:297-325).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def fuse_trajectory(slam_like, params, npc, reader, estimate_c2w_list,
+                    n_img: int, render_every: int = 5,
+                    voxel_size: float = 5.0 / 512, sdf_trunc: float = 0.04,
+                    depth_trunc: float = 8.0, level: str = "fine",
+                    use_gt_depth: bool = False, verbose: bool = True):
+    """Integrate rendered (or GT) depth/colour maps into a TSDF mesh."""
+    from ..native import TSDFVolume
+    from ..ops.image import dynamic_radii
+    from ..renderer import RenderConfig
+    from ..utils.visualizer import render_img
+
+    s = slam_like
+    vol = TSDFVolume(voxel_size, sdf_trunc)
+    intr = (s.fx, s.fy, s.cx, s.cy)
+    flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    rcfg = RenderConfig.from_cfg(s.cfg, "sigmoid_coef_mapper")
+    lv = npc.levels[level]
+
+    for idx in range(0, n_img, render_every):
+        frame = reader[idx]
+        c2w = estimate_c2w_list[idx]
+        if not np.isfinite(c2w).all():
+            continue
+        if use_gt_depth:
+            depth, color = frame.depth, frame.color
+        else:
+            _, r_query = dynamic_radii(
+                frame.color, s.cfg["pointcloud"]["radius_hierarchy"],
+                s.cfg["pointcloud"]["radius_query_ratio"],
+                s.cfg["pointcloud"]["color_grad_threshold"])
+            depth, _unc, color = render_img(
+                params, s.mcfg, rcfg, c2w, s.H, s.W, s.fx, s.fy, s.cx, s.cy,
+                (lv.pos, lv.count, lv.geo, lv.col), r_query[level],
+                gt_depth=frame.depth, stage=f"color_{level}")
+            color = np.clip(color, 0.0, 1.0)
+        # -z-forward -> CV convention for the TSDF integrator
+        c2w_cv = c2w @ flip
+        w2c_cv = np.linalg.inv(c2w_cv)
+        vol.integrate(np.asarray(depth, np.float32),
+                      np.asarray(color, np.float32), intr,
+                      w2c_cv.astype(np.float32), depth_trunc)
+        if verbose and idx % (render_every * 20) == 0:
+            print(f"fused frame {idx}/{n_img}")
+
+    return vol.extract_mesh()
+
+
+def main(argv=None):
+    sys.path.insert(0, os.getcwd())
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from hpslam_tpu import config as C
+    from hpslam_tpu.models import decoder as Dec
+    from hpslam_tpu.slam import PointSLAM
+    from hpslam_tpu.utils.logger import latest_checkpoint, load_checkpoint
+    from hpslam_tpu.utils.ply import write_ply_mesh
+
+    p = argparse.ArgumentParser(description="TSDF-fusion meshing.")
+    p.add_argument("config", type=str)
+    p.add_argument("--input_folder", type=str, default=None)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--no_render", action="store_true",
+                   help="integrate GT depth instead of re-rendered depth")
+    p.add_argument("--no_eval", action="store_true")
+    p.add_argument("--render_every", type=int, default=5)
+    p.add_argument("--voxel_size", type=float, default=5.0 / 512)
+    args = p.parse_args(argv)
+
+    cfg = C.load_config(args.config, "configs/point_slam.yaml")
+    if args.output:
+        cfg["data"]["output"] = args.output
+    if args.input_folder:
+        cfg["data"]["input_folder"] = args.input_folder
+    output = cfg["data"]["output"]
+
+    ck = latest_checkpoint(output)
+    if ck is None:
+        print("no checkpoint under", output)
+        return 1
+    state = load_checkpoint(ck)
+
+    slam = PointSLAM(cfg)
+    # restore decoder params + point cloud from the checkpoint
+    import jax
+    slam.params = jax.tree.map(lambda x: jax.numpy.asarray(x),
+                               state["decoder_params"])
+    for lvl, data in state["levels"].items():
+        npc_lvl = slam.npc.levels[lvl]
+        n = data["count"]
+        slam.npc.ensure_capacity(lvl, n + 1)
+        npc_lvl = slam.npc.levels[lvl]
+        slam.npc.levels[lvl] = npc_lvl.replace(
+            pos=npc_lvl.pos.at[:n].set(data["pos"]),
+            geo=npc_lvl.geo.at[:n].set(data["geo"]),
+            col=npc_lvl.col.at[:n].set(data["col"]),
+            normal=npc_lvl.normal.at[:n].set(data["normal"]),
+            count=jax.numpy.asarray(n, jax.numpy.int32))
+
+    estimate = state["estimate_c2w_list"]
+    n_img = int(state["idx"]) + 1
+    verts, cols, faces = fuse_trajectory(
+        slam, slam.params, slam.npc, slam.frame_reader, estimate, n_img,
+        render_every=args.render_every, voxel_size=args.voxel_size,
+        use_gt_depth=args.no_render)
+    os.makedirs(os.path.join(output, "mesh"), exist_ok=True)
+    mesh_path = os.path.join(output, "mesh", "final_mesh.ply")
+    write_ply_mesh(mesh_path, verts, faces, cols)
+    print(f"wrote {mesh_path}: {verts.shape[0]} verts, {faces.shape[0]} faces")
+
+    if not args.no_eval:
+        gt_mesh = cfg.get("meshing", {}).get("gt_mesh_path")
+        if gt_mesh and os.path.exists(gt_mesh):
+            from .eval_recon import eval_recon_3d
+            res = eval_recon_3d(mesh_path, gt_mesh)
+            print(res)
+        else:
+            print("no gt mesh configured (meshing.gt_mesh_path); "
+                  "skipping reconstruction eval")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

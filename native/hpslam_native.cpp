@@ -549,6 +549,180 @@ void estimate_normals(const float* pts, int64_t n, int k, const float* viewpoint
     }
 }
 
+// ------------------------------------------------------- BVH raycaster
+namespace {
+
+struct AABB {
+    float mn[3] = {1e30f, 1e30f, 1e30f};
+    float mx[3] = {-1e30f, -1e30f, -1e30f};
+    void grow(const float* p) {
+        for (int a = 0; a < 3; ++a) {
+            mn[a] = std::min(mn[a], p[a]);
+            mx[a] = std::max(mx[a], p[a]);
+        }
+    }
+    void grow(const AABB& o) {
+        for (int a = 0; a < 3; ++a) {
+            mn[a] = std::min(mn[a], o.mn[a]);
+            mx[a] = std::max(mx[a], o.mx[a]);
+        }
+    }
+    bool hit(const float* o, const float* inv_d, float tmax) const {
+        float t0 = 1e-5f, t1 = tmax;
+        for (int a = 0; a < 3; ++a) {
+            float ta = (mn[a] - o[a]) * inv_d[a];
+            float tb = (mx[a] - o[a]) * inv_d[a];
+            if (ta > tb) std::swap(ta, tb);
+            t0 = std::max(t0, ta);
+            t1 = std::min(t1, tb);
+            if (t0 > t1) return false;
+        }
+        return true;
+    }
+};
+
+struct BVHNode {
+    AABB box;
+    int left = -1, right = -1;   // children, or leaf range
+    int begin = 0, end = 0;
+};
+
+struct BVH {
+    std::vector<float> verts;
+    std::vector<int32_t> faces;
+    std::vector<int> tri_idx;
+    std::vector<BVHNode> nodes;
+    std::vector<float> centroids;
+
+    void build(const float* v, int64_t nv, const int32_t* f, int64_t nf) {
+        verts.assign(v, v + 3 * nv);
+        faces.assign(f, f + 3 * nf);
+        tri_idx.resize(nf);
+        centroids.resize(3 * nf);
+        for (int64_t i = 0; i < nf; ++i) {
+            tri_idx[i] = (int)i;
+            for (int a = 0; a < 3; ++a)
+                centroids[3*i+a] = (verts[3*faces[3*i]+a]
+                                  + verts[3*faces[3*i+1]+a]
+                                  + verts[3*faces[3*i+2]+a]) / 3.0f;
+        }
+        nodes.clear();
+        if (nf > 0) build_rec(0, (int)nf);
+    }
+
+    int build_rec(int b, int e) {
+        int id = (int)nodes.size();
+        nodes.push_back({});
+        AABB box;
+        for (int i = b; i < e; ++i) {
+            int t = tri_idx[i];
+            box.grow(&verts[3*faces[3*t]]);
+            box.grow(&verts[3*faces[3*t+1]]);
+            box.grow(&verts[3*faces[3*t+2]]);
+        }
+        nodes[id].box = box;
+        if (e - b <= 4) {
+            nodes[id].begin = b; nodes[id].end = e;
+            return id;
+        }
+        int axis = 0;
+        float ext[3];
+        for (int a = 0; a < 3; ++a) ext[a] = box.mx[a] - box.mn[a];
+        if (ext[1] > ext[0]) axis = 1;
+        if (ext[2] > ext[axis]) axis = 2;
+        int m = (b + e) / 2;
+        std::nth_element(tri_idx.begin() + b, tri_idx.begin() + m,
+                         tri_idx.begin() + e, [&](int i, int j) {
+                             return centroids[3*i+axis] < centroids[3*j+axis];
+                         });
+        int l = build_rec(b, m);
+        int r = build_rec(m, e);
+        nodes[id].left = l;
+        nodes[id].right = r;
+        nodes[id].begin = -1;
+        return id;
+    }
+
+    // Moller-Trumbore; returns t or -1
+    float intersect_tri(int t, const float* o, const float* d) const {
+        const float* p0 = &verts[3*faces[3*t]];
+        const float* p1 = &verts[3*faces[3*t+1]];
+        const float* p2 = &verts[3*faces[3*t+2]];
+        float e1[3] = {p1[0]-p0[0], p1[1]-p0[1], p1[2]-p0[2]};
+        float e2[3] = {p2[0]-p0[0], p2[1]-p0[1], p2[2]-p0[2]};
+        float pv[3] = {d[1]*e2[2]-d[2]*e2[1], d[2]*e2[0]-d[0]*e2[2],
+                       d[0]*e2[1]-d[1]*e2[0]};
+        float det = e1[0]*pv[0] + e1[1]*pv[1] + e1[2]*pv[2];
+        if (std::fabs(det) < 1e-12f) return -1.0f;
+        float inv = 1.0f / det;
+        float tv[3] = {o[0]-p0[0], o[1]-p0[1], o[2]-p0[2]};
+        float u = (tv[0]*pv[0] + tv[1]*pv[1] + tv[2]*pv[2]) * inv;
+        if (u < 0 || u > 1) return -1.0f;
+        float qv[3] = {tv[1]*e1[2]-tv[2]*e1[1], tv[2]*e1[0]-tv[0]*e1[2],
+                       tv[0]*e1[1]-tv[1]*e1[0]};
+        float vv = (d[0]*qv[0] + d[1]*qv[1] + d[2]*qv[2]) * inv;
+        if (vv < 0 || u + vv > 1) return -1.0f;
+        float t_hit = (e2[0]*qv[0] + e2[1]*qv[1] + e2[2]*qv[2]) * inv;
+        return t_hit > 1e-5f ? t_hit : -1.0f;
+    }
+
+    float cast(const float* o, const float* d) const {
+        if (nodes.empty()) return -1.0f;
+        float inv_d[3];
+        for (int a = 0; a < 3; ++a)
+            inv_d[a] = 1.0f / (std::fabs(d[a]) < 1e-12f
+                               ? std::copysign(1e-12f, d[a]) : d[a]);
+        float best = 1e30f;
+        int stack[64];
+        int sp = 0;
+        stack[sp++] = 0;
+        while (sp) {
+            const BVHNode& nd = nodes[stack[--sp]];
+            if (!nd.box.hit(o, inv_d, best)) continue;
+            if (nd.begin >= 0) {
+                for (int i = nd.begin; i < nd.end; ++i) {
+                    float t = intersect_tri(tri_idx[i], o, d);
+                    if (t > 0 && t < best) best = t;
+                }
+            } else {
+                stack[sp++] = nd.left;
+                stack[sp++] = nd.right;
+            }
+        }
+        return best < 1e29f ? best : -1.0f;
+    }
+};
+
+std::unordered_map<int64_t, BVH*> g_bvh;
+
+}  // namespace
+
+extern "C" {
+
+int64_t bvh_build(const float* verts, int64_t nv, const int32_t* faces,
+                  int64_t nf) {
+    auto* b = new BVH();
+    b->build(verts, nv, faces, nf);
+    int64_t h = g_next_handle++;
+    g_bvh[h] = b;
+    return h;
+}
+
+void bvh_destroy(int64_t h) {
+    auto it = g_bvh.find(h);
+    if (it != g_bvh.end()) { delete it->second; g_bvh.erase(it); }
+}
+
+// writes t (>0) or -1 per ray
+void bvh_raycast(int64_t h, const float* rays_o, const float* rays_d,
+                 int64_t n, float* out_t) {
+    BVH* b = g_bvh[h];
+    for (int64_t i = 0; i < n; ++i)
+        out_t[i] = b->cast(rays_o + 3 * i, rays_d + 3 * i);
+}
+
+}  // extern "C"
+
 namespace {
 // solve 6x6 SPD system via Cholesky; returns false if singular
 bool solve66(double A[36], double b[6], double x[6]) {

@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from hpslam_tpu.tools.eval_ate import evaluate_trajectory, horn_align
+
+
+def make_traj(n, rng):
+    t = np.linspace(0, 4 * np.pi, n)
+    xyz = np.stack([np.cos(t), np.sin(t), 0.1 * t], -1)
+    poses = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    poses[:, :3, 3] = xyz
+    return poses
+
+
+def test_ate_zero_for_identical(rng):
+    gt = make_traj(50, rng)
+    r = evaluate_trajectory(gt, gt.copy(), 49)
+    assert r["absolute_translational_error.rmse"] < 1e-9
+    assert r["compared_pose_pairs"] == 50
+
+
+def test_ate_invariant_to_rigid_transform(rng):
+    gt = make_traj(60, rng)
+    # rigidly transform the estimate: alignment should recover zero error
+    ang = 0.7
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = [1.0, -2.0, 0.5]
+    est = np.einsum("ij,njk->nik", T, gt)
+    r = evaluate_trajectory(gt, est, 59, use_alignment=True)
+    assert r["absolute_translational_error.rmse"] < 1e-6
+    r2 = evaluate_trajectory(gt, est, 59, use_alignment=False)
+    assert r2["absolute_translational_error.rmse"] > 0.5
+
+
+def test_ate_masks_invalid_gt(rng):
+    gt = make_traj(40, rng)
+    est = gt.copy()
+    gt[7] = np.nan
+    gt[13, 0, 0] = np.inf
+    r = evaluate_trajectory(gt, est, 39)
+    assert r["compared_pose_pairs"] == 38
+    assert np.isfinite(r["absolute_translational_error.rmse"])
+
+
+def test_known_offset_rmse(rng):
+    gt = make_traj(30, rng)
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(0, 0.01, (30, 3))
+    r = evaluate_trajectory(gt, est, 29, use_alignment=False)
+    assert 0.005 < r["absolute_translational_error.rmse"] < 0.05
+
+
+def test_cull_mesh(rng):
+    from hpslam_tpu.tools.cull_mesh import cull
+    # two triangles: one in front of the camera (visible), one behind
+    verts = np.array([[0, 0, -2], [0.1, 0, -2], [0, 0.1, -2],
+                      [0, 0, 2], [0.1, 0, 2], [0, 0.1, 2]], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    pose = np.eye(4)
+    kept = cull(verts, faces, [pose], H=100, W=100, fx=50, fy=50,
+                cx=50, cy=50)
+    assert kept.shape[0] == 1 and list(kept[0]) == [0, 1, 2]
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    from hpslam_tpu.utils.ply import write_ply_mesh, write_ply_points, read_ply
+    v = rng.normal(size=(10, 3)).astype(np.float32)
+    c = rng.uniform(size=(10, 3)).astype(np.float32)
+    f = rng.integers(0, 10, size=(5, 3)).astype(np.int32)
+    p = str(tmp_path / "m.ply")
+    write_ply_mesh(p, v, f, c)
+    v2, c2, f2 = read_ply(p)
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+    np.testing.assert_allclose(c2, c, atol=1 / 255.0)
+    p2 = str(tmp_path / "p.ply")
+    write_ply_points(p2, v, c)
+    v3, c3, f3 = read_ply(p2)
+    np.testing.assert_allclose(v3, v, atol=1e-6)
+    assert f3 is None
+
+
+def test_end_correction_decay(rng):
+    from hpslam_tpu.tools.end_correction import voxel_downsample
+    pts = rng.uniform(0, 1, (5000, 3)).astype(np.float32)
+    ds = voxel_downsample(pts, 0.2)
+    assert ds.shape[0] <= 6 ** 3
+    assert ds.shape[0] > 50
