@@ -58,6 +58,7 @@ def main():
     import jax.numpy as jnp
 
     from hpslam_tpu.models import decoder as Dec
+    from hpslam_tpu.ops import optim as Opt
     from hpslam_tpu.renderer import RenderConfig
     from hpslam_tpu.tracker import track_frame
     from hpslam_tpu.mapper import map_scan, build_schedule
@@ -104,8 +105,7 @@ def main():
     pools = np.broadcast_to(pool, (F, H * W)).copy()
     pool_lens = np.full((F,), pool.size, np.int32)
     expo_stack = np.zeros((F, 8), np.float32)
-    active = np.ones((F,), bool)
-    stage_ids, lr_table = build_schedule(MAP_ITERS, 0.5, 0.3, False, 200, {
+    schedules = build_schedule(MAP_ITERS, 0.5, 0.3, False, 200, {
         "stage": {s: {"decoders_lr": 0.005 if "color" in s else 0.001,
                       "geometry_mid_lr": 0.03 if "geometry" in s else 0.005,
                       "geometry_fine_lr": 0.03 if "geometry" in s else 0.005,
@@ -114,35 +114,44 @@ def main():
                             "color_fine")},
         "init": {}})
 
-    opt_params = {
-        "geo_mid": mid[2], "geo_fine": fine[2],
-        "col_mid": mid[3], "col_fine": fine[3],
-        "dec": {"col_mid": params["col_mid"], "col_fine": params["col_fine"]},
-        "expo_feat": jnp.asarray(expo),
+    level_arrays = {"mid": mid, "fine": fine}
+    opt_by_level = {
+        lvl: {"geo": level_arrays[lvl][2], "col": level_arrays[lvl][3],
+              "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
+              "expo_feat": jnp.asarray(expo)}
+        for lvl in ("mid", "fine")
     }
 
-    def run_map(key, op):
-        op, losses = map_scan(
-            params, mcfg, rcfg, op, key,
-            jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
-            jnp.asarray(np.broadcast_to(rq_mid, (F, H, W)).copy()),
-            jnp.asarray(np.broadcast_to(rq_fine, (F, H, W)).copy()),
-            jnp.asarray(pools), jnp.asarray(pool_lens),
-            jnp.asarray(expo_stack), jnp.asarray(active),
-            mid[0], mid[1], fine[0], fine[1],
-            jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
-            n_rays=MAP_RAYS, F_max=F, H=H, W=W, fx=FX, fy=FY, cx=CX, cy=CY,
-            n_iters=MAP_ITERS, use_exposure=True, opt_color_dec=True,
-            opt_geo_dec=False, w_color=0.1)
+    def run_map(key, ops):
+        new_ops = {}
+        for lvl in ("mid", "fine"):
+            stage_ids, lr_table = schedules[lvl]
+            arr = level_arrays[lvl]
+            op = ops[lvl]
+            ost = Opt.init(op)
+            rq = rq_mid if lvl == "mid" else rq_fine
+            op, ost, losses = map_scan(
+                params, mcfg, rcfg, op, ost, key,
+                jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
+                jnp.asarray(np.broadcast_to(rq, (F, H, W)).copy()),
+                jnp.asarray(pools), jnp.asarray(pool_lens),
+                jnp.asarray(expo_stack),
+                arr[0], arr[1],
+                jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
+                level=lvl, n_rays=MAP_RAYS, F_max=F, H=H, W=W,
+                fx=FX, fy=FY, cx=CX, cy=CY,
+                n_iters=int(stage_ids.size), use_exposure=True,
+                opt_color_dec=True, opt_geo_dec=False, w_color=0.1)
+            new_ops[lvl] = op
         jax.block_until_ready(losses)
-        return op, losses
+        return new_ops, losses
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, 8)
 
     # warmup / compile
     run_track(keys[0])
-    op, _ = run_map(keys[1], opt_params)
+    op, _ = run_map(keys[1], opt_by_level)
 
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()

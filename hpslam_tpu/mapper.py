@@ -101,42 +101,50 @@ def keyframe_selection_overlap(rng: np.random.Generator, depth: np.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mcfg", "rcfg", "n_rays", "F_max", "H", "W",
+    static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
                      "fx", "fy", "cx", "cy", "n_iters", "use_exposure",
                      "opt_color_dec", "opt_geo_dec", "w_color"),
-    donate_argnames=("opt_params",))
+    donate_argnames=("opt_params", "opt_state"))
 def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
-             opt_params, key,
-             colors, depths, c2ws, rq_mid, rq_fine, pools, pool_lens,
-             expo_stack, frame_active,
-             pos_mid, count_mid, pos_fine, count_fine,
+             opt_params, opt_state, key,
+             colors, depths, c2ws, rq_map, pools, pool_lens,
+             expo_stack,
+             pos, count,
              stage_ids, lr_table,
              F_actual,
+             level: str,
              n_rays: int, F_max: int, H: int, W: int,
              fx: float, fy: float, cx: float, cy: float,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
              opt_geo_dec: bool, w_color: float):
-    """Run the full mapping schedule for one frame.
+    """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
+    stages).
 
-    opt_params: {'geo_mid','geo_fine','col_mid','col_fine' feature arrays,
-                 optional 'dec' (decoder subtrees), optional 'expo_feat'}
-    stage_ids: (n_iters,) int32 in {0: geometry_mid, 1: color_mid,
-               2: geometry_fine, 3: color_fine}
-    lr_table:  (n_iters, 5) per-group LRs
-               [decoders, geo_mid, geo_fine, col_mid, col_fine]
-    frame_active: (F_max,) bool — padding mask for the window stack.
+    The reference runs one 600-iteration loop over four stages with one
+    shared Adam (Mapper.py:613-655).  Each stage only touches its own
+    level's feature arrays, so the other level's gradients are exactly
+    zero — splitting the schedule at the mid->fine boundary into two scans
+    that each carry only the active level's features halves the dense Adam /
+    zero-gradient memory traffic (the mapping bottleneck on TPU), and
+    matches the reference up to the inactive level's decaying zero-gradient
+    momentum tail (0.9^n) at the phase boundary.  The exposure-latent Adam
+    state and step count are threaded through both phases (``opt_state``
+    in/out), preserving the shared-optimizer semantics.
 
-    Returns (opt_params, losses (n_iters, 2) [geo, color]).
+    opt_params: {'geo', 'col' (this level's feature arrays),
+                 optional 'dec', optional 'expo_feat'}
+    stage_ids: (n_iters,) int32 in {0: geometry, 1: color}
+    lr_table:  (n_iters, 3) per-group LRs [decoders, geo, col]
+
+    Returns (opt_params, opt_state, losses (n_iters, 2) [geo, color]).
     """
 
     def merged_params(op):
         pr = dict(params)
         if opt_color_dec:
-            pr["col_mid"] = op["dec"]["col_mid"]
-            pr["col_fine"] = op["dec"]["col_fine"]
+            pr[f"col_{level}"] = op["dec"][f"col_{level}"]
         if opt_geo_dec:
-            pr["geo_mid"] = op["dec"]["geo_mid"]
-            pr["geo_fine"] = op["dec"]["geo_fine"]
+            pr[f"geo_{level}"] = op["dec"][f"geo_{level}"]
         return pr
 
     def sample_rays(k):
@@ -157,24 +165,19 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         rays_o = c2ws[fid, :3, 3]
         d_gt = depths[fid, jj, ii]
         c_gt = colors[fid, jj, ii]
-        rqm = rq_mid[fid, jj, ii]
-        rqf = rq_fine[fid, jj, ii]
-        return fid, rays_o, rays_d, d_gt, c_gt, rqm, rqf
+        rq = rq_map[fid, jj, ii]
+        return fid, rays_o, rays_d, d_gt, c_gt, rq
 
     def stage_loss(op, k, stage_id):
         pr = merged_params(op)
-        fid, rays_o, rays_d, d_gt, c_gt, rqm, rqf = sample_rays(k)
+        fid, rays_o, rays_d, d_gt, c_gt, rq = sample_rays(k)
         inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
                                      1.2 * jnp.max(d_gt))
 
-        def run_stage(stage, level):
-            pos, count = (pos_mid, count_mid) if level == "mid" else (pos_fine, count_fine)
-            geo = op[f"geo_{level}"]
-            col = op[f"col_{level}"]
-            rq = rqm if level == "mid" else rqf
+        def run_stage(stage):
             depth, unc, color, vmask = render_rays(
                 pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
-                pos, count, geo, col, rq, is_tracker=False,
+                pos, count, op["geo"], op["col"], rq, is_tracker=False,
                 exposure_feat=None)
             mask = (d_gt > 0) & vmask & jnp.isfinite(depth) & inside
             geo_loss = jnp.sum(jnp.where(mask, jnp.abs(d_gt - depth), 0.0))
@@ -200,17 +203,12 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             return geo_loss + w_color * col_loss, geo_loss, col_loss
 
         return jax.lax.switch(stage_id, [
-            lambda: run_stage("geometry_mid", "mid"),
-            lambda: run_stage("color_mid", "mid"),
-            lambda: run_stage("geometry_fine", "fine"),
-            lambda: run_stage("color_fine", "fine"),
+            lambda: run_stage(f"geometry_{level}"),
+            lambda: run_stage(f"color_{level}"),
         ])
 
     def lr_tree_for(lrs):
-        tree = {
-            "geo_mid": lrs[1], "geo_fine": lrs[2],
-            "col_mid": lrs[3], "col_fine": lrs[4],
-        }
+        tree = {"geo": lrs[1], "col": lrs[2]}
         if opt_color_dec or opt_geo_dec:
             tree["dec"] = jax.tree.map(lambda _: lrs[0], opt_params["dec"])
         if use_exposure and "expo_feat" in opt_params:
@@ -230,11 +228,10 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         op, ostate = Opt.update(grads, ostate, op, lr_tree_for(lrs))
         return (op, ostate), jnp.stack([geo_l, col_l])
 
-    ostate = Opt.init(opt_params)
     keys = jax.random.split(key, n_iters)
-    (opt_params, _), losses = jax.lax.scan(
-        step, (opt_params, ostate), (keys, stage_ids, lr_table))
-    return opt_params, losses
+    (opt_params, opt_state), losses = jax.lax.scan(
+        step, (opt_params, opt_state), (keys, stage_ids, lr_table))
+    return opt_params, opt_state, losses
 
 
 # ---------------------------------------------------------------------------
@@ -242,28 +239,40 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
 def build_schedule(n_joint: int, mid_ratio: float, geo_ratio: float,
                    init: bool, geo_iter_first: int, lr_cfg: dict):
-    """Per-iteration stage ids + 5-group LR table.
+    """Per-phase (mid, fine) stage ids + 3-group LR tables.
 
-    Reproduces Mapper.py:633-655 exactly: stage boundaries at
-    geo_iter_first (init) / num_mid*geo_ratio, num_mid,
-    num_mid + num_fine*geo_ratio.
+    Reproduces Mapper.py:633-655 exactly: over the joint iteration counter,
+    stage boundaries are at geo_iter_first (init) / num_mid*geo_ratio,
+    num_mid, and num_mid + num_fine*geo_ratio; here the first num_mid+1
+    iterations form the mid phase and the rest the fine phase.
+
+    Returns {"mid": (stage_ids, lr_table), "fine": (stage_ids, lr_table)}
+    with stage id 0 = geometry, 1 = color and LR columns
+    [decoders, geometry_level, color_level].
     """
     num_mid = int(n_joint * mid_ratio)
     num_fine = int(n_joint * (1 - mid_ratio))
     A = geo_iter_first if init else int(num_mid * geo_ratio)
     B = num_mid
     C = int(num_mid + num_fine * geo_ratio)
-    names = ["geometry_mid", "color_mid", "geometry_fine", "color_fine"]
-    stage_ids = np.empty((n_joint,), np.int32)
-    lr_table = np.empty((n_joint, 5), np.float32)
     block = lr_cfg["init"] if init else lr_cfg["stage"]
-    for j in range(n_joint):
-        s = 0 if j <= A else (1 if j <= B else (2 if j <= C else 3))
-        stage_ids[j] = s
-        g = block[names[s]]
-        lr_table[j] = [g["decoders_lr"], g["geometry_mid_lr"],
-                       g["geometry_fine_lr"], g["color_lr"], g["color_lr"]]
-    return stage_ids, lr_table
+    out = {}
+    for level, rng_ in (("mid", range(0, min(B, n_joint - 1) + 1)),
+                        ("fine", range(min(B, n_joint - 1) + 1, n_joint))):
+        names = {0: f"geometry_{level}", 1: f"color_{level}"}
+        ids, lrs = [], []
+        for j in rng_:
+            if level == "mid":
+                s = 0 if j <= A else 1
+            else:
+                s = 0 if j <= C else 1
+            g = block[names[s]]
+            ids.append(s)
+            lrs.append([g["decoders_lr"],
+                        g[f"geometry_{level}_lr"], g["color_lr"]])
+        out[level] = (np.asarray(ids, np.int32),
+                      np.asarray(lrs, np.float32))
+    return out
 
 
 def bucket_iters(n: int, base: int) -> int:
@@ -434,7 +443,7 @@ class Mapper:
             n = int(np.clip(n_joint * frame_pts_add / 300,
                             int(self.min_iter_ratio * n_joint), 2 * n_joint))
             n_joint = bucket_iters(n, self.iters)
-        stage_ids, lr_table = build_schedule(
+        schedules = build_schedule(
             n_joint, self.mid_iter_ratio, self.geo_iter_ratio, init,
             self.geo_iter_first, self.lr_cfg)
 
@@ -475,59 +484,83 @@ class Mapper:
             pool_lens[slot] = pool.size
             active[slot] = True
 
-        # optimizable pytree
+        # optimizable pytrees, one phase per level (see map_scan docstring)
         opt_color_dec = not self.fix_color_decoder
         opt_geo_dec = not (self.fix_geo_mid and self.fix_geo_fine)
-        lv_mid, lv_fine = npc.levels["mid"], npc.levels["fine"]
-        opt_params = {
-            "geo_mid": lv_mid.geo, "geo_fine": lv_fine.geo,
-            "col_mid": lv_mid.col, "col_fine": lv_fine.col,
-        }
-        if opt_color_dec or opt_geo_dec:
-            opt_params["dec"] = {}
-            if opt_color_dec:
-                opt_params["dec"]["col_mid"] = params["col_mid"]
-                opt_params["dec"]["col_fine"] = params["col_fine"]
-            if opt_geo_dec:
-                opt_params["dec"]["geo_mid"] = params["geo_mid"]
-                opt_params["dec"]["geo_fine"] = params["geo_fine"]
-        if self.use_exposure:
-            opt_params["expo_feat"] = jnp.asarray(exposure_feat)
-
         n_rays = self.mapping_pixels
-
-        opt_params, losses = map_scan(
-            params, slam.mcfg, self.rcfg, opt_params, key,
-            jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
-            jnp.asarray(rqm), jnp.asarray(rqf),
-            jnp.asarray(pools), jnp.asarray(pool_lens),
-            jnp.asarray(expo), jnp.asarray(active),
-            lv_mid.pos, lv_mid.count, lv_fine.pos, lv_fine.count,
-            jnp.asarray(stage_ids), jnp.asarray(lr_table),
-            jnp.int32(F_actual),
-            n_rays=n_rays, F_max=F_max, H=H, W=W,
-            fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
-            n_iters=int(n_joint), use_exposure=self.use_exposure,
-            opt_color_dec=opt_color_dec, opt_geo_dec=opt_geo_dec,
-            w_color=self.w_color)
-
-        # write features back (Mapper.py:923-933)
-        npc.update_geo_feats(opt_params["geo_mid"], "mid")
-        npc.update_geo_feats(opt_params["geo_fine"], "fine")
-        npc.update_col_feats(opt_params["col_mid"], "mid")
-        npc.update_col_feats(opt_params["col_fine"], "fine")
         new_params = dict(params)
-        if opt_color_dec:
-            new_params["col_mid"] = opt_params["dec"]["col_mid"]
-            new_params["col_fine"] = opt_params["dec"]["col_fine"]
-        if opt_geo_dec:
-            new_params["geo_mid"] = opt_params["dec"]["geo_mid"]
-            new_params["geo_fine"] = opt_params["dec"]["geo_fine"]
-        new_expo = (np.asarray(opt_params["expo_feat"])
-                    if self.use_exposure else exposure_feat)
+        new_expo = exposure_feat
+        losses_all = []
+        shared_ostate = None  # threads decoder/exposure Adam moments
+
+        common = dict(
+            colors=jnp.asarray(colors), depths=jnp.asarray(depths),
+            c2ws=jnp.asarray(c2ws), pools=jnp.asarray(pools),
+            pool_lens=jnp.asarray(pool_lens), expo_stack=jnp.asarray(expo))
+
+        keys = jax.random.split(key, 2)
+        for phase_i, level in enumerate(("mid", "fine")):
+            stage_ids, lr_table = schedules[level]
+            if stage_ids.size == 0:
+                continue
+            lv = npc.levels[level]
+            opt_params = {"geo": lv.geo, "col": lv.col}
+            if opt_color_dec or opt_geo_dec:
+                opt_params["dec"] = {}
+                if opt_color_dec:
+                    opt_params["dec"][f"col_{level}"] = new_params[f"col_{level}"]
+                if opt_geo_dec:
+                    opt_params["dec"][f"geo_{level}"] = new_params[f"geo_{level}"]
+            if self.use_exposure:
+                opt_params["expo_feat"] = jnp.asarray(new_expo)
+
+            opt_state = Opt.init(opt_params)
+            if shared_ostate is not None:
+                # Carry the shared-parameter Adam state across the phase
+                # boundary (one shared optimizer in the reference,
+                # Mapper.py:603).  Only the exposure latent appears in both
+                # phases; each level's decoders/features receive zero
+                # gradients during the other phase, so their moments enter
+                # the fine phase at (almost) zero either way — the reference
+                # additionally has a decaying 0.9^n momentum tail on the
+                # mid-level params during early fine iterations, which this
+                # split drops.
+                if "expo_feat" in opt_state["m"]:
+                    opt_state["m"]["expo_feat"] = shared_ostate["m_expo"]
+                    opt_state["v"]["expo_feat"] = shared_ostate["v_expo"]
+                opt_state["t"] = shared_ostate["t"]
+
+            opt_params, opt_state, losses = map_scan(
+                params, slam.mcfg, self.rcfg, opt_params, opt_state,
+                keys[phase_i],
+                rq_map=jnp.asarray(rqm if level == "mid" else rqf),
+                pos=lv.pos, count=lv.count,
+                stage_ids=jnp.asarray(stage_ids),
+                lr_table=jnp.asarray(lr_table),
+                F_actual=jnp.int32(F_actual), level=level,
+                n_rays=n_rays, F_max=F_max, H=H, W=W,
+                fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
+                n_iters=int(stage_ids.size), use_exposure=self.use_exposure,
+                opt_color_dec=opt_color_dec, opt_geo_dec=opt_geo_dec,
+                w_color=self.w_color, **common)
+
+            npc.update_geo_feats(opt_params["geo"], level)
+            npc.update_col_feats(opt_params["col"], level)
+            if opt_color_dec:
+                new_params[f"col_{level}"] = opt_params["dec"][f"col_{level}"]
+            if opt_geo_dec:
+                new_params[f"geo_{level}"] = opt_params["dec"][f"geo_{level}"]
+            if self.use_exposure:
+                new_expo = np.asarray(opt_params["expo_feat"])
+            shared_ostate = {"t": opt_state["t"]}
+            if "expo_feat" in opt_state["m"]:
+                shared_ostate["m_expo"] = opt_state["m"]["expo_feat"]
+                shared_ostate["v_expo"] = opt_state["v"]["expo_feat"]
+            losses_all.append(np.asarray(losses))
 
         self.prev_c2w = c2w
-        loss_np = np.asarray(losses)
+        loss_np = (np.concatenate(losses_all, axis=0) if losses_all
+                   else np.zeros((1, 2)))
         info = {
             "frame_pts_add": frame_pts_add,
             "n_joint_iters": int(n_joint),

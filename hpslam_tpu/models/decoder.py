@@ -357,21 +357,36 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
     level = "mid" if stage.endswith("_mid") else "fine"
     geo_dec = params[f"geo_{level}"]
 
-    c_geo, has = interpolate_level_feats(
-        geo_dec, cfg, p, D, I, geo_feats, cloud_pos, r_query,
-        diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_geo)
-    occ = apply_geo(geo_dec, cfg, p, c_geo)
-    vmask = valid_ray_mask(has, n_pts_per_ray, cfg.N_surface)
-
     if stage.startswith("geometry"):
+        c_geo, has = interpolate_level_feats(
+            geo_dec, cfg, p, D, I, geo_feats, cloud_pos, r_query,
+            diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_geo)
+        occ = apply_geo(geo_dec, cfg, p, c_geo)
+        vmask = valid_ray_mask(has, n_pts_per_ray, cfg.N_surface)
         raw = jnp.concatenate(
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
         return raw, vmask, has
 
     col_dec = params[f"col_{level}"]
-    c_col, _ = interpolate_level_feats(
-        col_dec, cfg, p, D, I, col_feats, cloud_pos, r_query,
-        diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_col)
+    if not (cfg.encode_rel_pos_in_geo or cfg.encode_rel_pos_in_col):
+        # single fused gather of [geo | col] features — random-access
+        # gathers are the mapping bottleneck on TPU (one 2C-wide gather
+        # beats two C-wide ones; the concat is cheap sequential bandwidth)
+        weights, has = IT.interp_weights(
+            D, I, p, cloud_pos, r_query, cfg.min_nn_num, cfg.weighting,
+            is_tracker)
+        cat = jnp.concatenate([geo_feats, col_feats], axis=1)
+        c_all = IT.weighted_gather(cat, I, weights, has)
+        c_geo, c_col = c_all[:, : cfg.c_dim], c_all[:, cfg.c_dim:]
+    else:
+        c_geo, has = interpolate_level_feats(
+            geo_dec, cfg, p, D, I, geo_feats, cloud_pos, r_query,
+            diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_geo)
+        c_col, _ = interpolate_level_feats(
+            col_dec, cfg, p, D, I, col_feats, cloud_pos, r_query,
+            diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_col)
+    occ = apply_geo(geo_dec, cfg, p, c_geo)
+    vmask = valid_ray_mask(has, n_pts_per_ray, cfg.N_surface)
     rgb = apply_color(col_dec, cfg, p, c_col, views_d=views_d,
                       normals=normals, exposure_feat=exposure_feat)
     raw = jnp.concatenate([rgb, occ[..., None]], axis=-1)

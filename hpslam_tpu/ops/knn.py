@@ -70,13 +70,13 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, count: jnp.ndarray,
 
         def tile_step(carry, t):
             bestD, bestI = carry
-            p = jax.lax.dynamic_slice(points, (t * n_tile, 0), (n_tile, 3))
+            p = jax.lax.dynamic_slice(points, (t * n_tile, jnp.zeros((), t.dtype)), (n_tile, 3))
             psq = jax.lax.dynamic_slice(pts_sq, (t * n_tile,), (n_tile,))
             inv = jax.lax.dynamic_slice(invalid, (t * n_tile,), (n_tile,))
             # (qc, n_tile) squared distances via matmul (MXU)
             # HIGHEST precision: default bf16 matmul passes would corrupt
             # squared distances at the 4e-4 radius^2 scales used here.
-            d2 = q_sq - 2.0 * jnp.dot(q, p.T, preferred_element_type=jnp.float32,
+            d2 = q_sq - 2.0 * jnp.dot(q, p.T,
                                       precision=jax.lax.Precision.HIGHEST) \
                 + psq[None, :]
             d2 = jnp.maximum(d2, 0.0)
@@ -89,7 +89,7 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, count: jnp.ndarray,
             negD, sel = jax.lax.top_k(-allD, k)
             return (-negD, jnp.take_along_axis(allI, sel, axis=1)), None
 
-        init = (jnp.full((q.shape[0], k), BIG, jnp.float32),
+        init = (jnp.full((q.shape[0], k), BIG, query.dtype),
                 jnp.zeros((q.shape[0], k), jnp.int32))
         (D, I), _ = jax.lax.scan(tile_step, init,
                                  jnp.arange(num_tiles, dtype=jnp.int32))
