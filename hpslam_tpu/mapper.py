@@ -103,7 +103,7 @@ def keyframe_selection_overlap(rng: np.random.Generator, depth: np.ndarray,
     jax.jit,
     static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
                      "fx", "fy", "cx", "cy", "n_iters", "use_exposure",
-                     "opt_color_dec", "opt_geo_dec", "w_color"),
+                     "opt_color_dec", "opt_geo_dec", "w_color", "use_ba"),
     donate_argnames=("opt_params", "opt_state"))
 def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              opt_params, opt_state, key,
@@ -116,7 +116,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              n_rays: int, F_max: int, H: int, W: int,
              fx: float, fy: float, cx: float, cy: float,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
-             opt_geo_dec: bool, w_color: float):
+             opt_geo_dec: bool, w_color: float, use_ba: bool = False,
+             cam_trainable=None):
     """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
     stages).
 
@@ -132,9 +133,12 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     in/out), preserving the shared-optimizer semantics.
 
     opt_params: {'geo', 'col' (this level's feature arrays),
-                 optional 'dec', optional 'expo_feat'}
+                 optional 'dec', optional 'expo_feat',
+                 optional 'cams' (F_max, 7) when use_ba}
     stage_ids: (n_iters,) int32 in {0: geometry, 1: color}
-    lr_table:  (n_iters, 3) per-group LRs [decoders, geo, col]
+    lr_table:  (n_iters, 4) per-group LRs [decoders, geo, col, BA_cam]
+    cam_trainable: (F_max,) bool — BA optimizes all window poses except the
+    oldest keyframe and padding (Mapper.py:574-576)
 
     Returns (opt_params, opt_state, losses (n_iters, 2) [geo, color]).
     """
@@ -147,7 +151,16 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             pr[f"geo_{level}"] = op["dec"][f"geo_{level}"]
         return pr
 
-    def sample_rays(k):
+    def window_poses(op):
+        """(F_max, 3, 4) camera matrices — from the optimizable BA camera
+        tensors when enabled, else the fixed window poses."""
+        if not use_ba:
+            return c2ws[:, :3, :]
+        cams = jnp.where(cam_trainable[:, None], op["cams"],
+                         jax.lax.stop_gradient(op["cams"]))
+        return G.get_camera_from_tensor(cams)
+
+    def sample_rays(k, op):
         """n_rays spread over the F_actual active frames."""
         fid = (jax.lax.broadcasted_iota(jnp.int32, (n_rays, 1), 0)[:, 0]
                % F_actual)
@@ -157,12 +170,13 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
         jj, ii = idx // W, idx % W
+        poses = window_poses(op)
         # per-frame rays (HIGHEST-precision small matmuls)
         dirs = jnp.stack([(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)], -1)
-        R = c2ws[fid, :3, :3]
+        R = poses[fid, :3, :3]
         rays_d = jnp.einsum("nd,nkd->nk", dirs, R,
                             precision=jax.lax.Precision.HIGHEST)
-        rays_o = c2ws[fid, :3, 3]
+        rays_o = poses[fid, :3, 3]
         d_gt = depths[fid, jj, ii]
         c_gt = colors[fid, jj, ii]
         rq = rq_map[fid, jj, ii]
@@ -170,14 +184,14 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
     def stage_loss(op, k, stage_id):
         pr = merged_params(op)
-        fid, rays_o, rays_d, d_gt, c_gt, rq = sample_rays(k)
+        fid, rays_o, rays_d, d_gt, c_gt, rq = sample_rays(k, op)
         inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
                                      1.2 * jnp.max(d_gt))
 
         def run_stage(stage):
             depth, unc, color, vmask = render_rays(
                 pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
-                pos, count, op["geo"], op["col"], rq, is_tracker=False,
+                pos, count, op["geo"], op["col"], rq, is_tracker=use_ba,
                 exposure_feat=None)
             mask = (d_gt > 0) & vmask & jnp.isfinite(depth) & inside
             geo_loss = jnp.sum(jnp.where(mask, jnp.abs(d_gt - depth), 0.0))
@@ -213,6 +227,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             tree["dec"] = jax.tree.map(lambda _: lrs[0], opt_params["dec"])
         if use_exposure and "expo_feat" in opt_params:
             tree["expo_feat"] = jnp.asarray(0.001)
+        if use_ba:
+            tree["cams"] = lrs[3]
         return tree
 
     def step(carry, xs):
@@ -238,17 +254,22 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 # host-side schedule construction
 
 def build_schedule(n_joint: int, mid_ratio: float, geo_ratio: float,
-                   init: bool, geo_iter_first: int, lr_cfg: dict):
-    """Per-phase (mid, fine) stage ids + 3-group LR tables.
+                   init: bool, geo_iter_first: int, lr_cfg: dict,
+                   ba_cam_lr: float = 0.0, color_refine: bool = False):
+    """Per-phase (mid, fine) stage ids + 4-group LR tables.
 
-    Reproduces Mapper.py:633-655 exactly: over the joint iteration counter,
+    Reproduces Mapper.py:633-666 exactly: over the joint iteration counter,
     stage boundaries are at geo_iter_first (init) / num_mid*geo_ratio,
     num_mid, and num_mid + num_fine*geo_ratio; here the first num_mid+1
-    iterations form the mid phase and the rest the fine phase.
+    iterations form the mid phase and the rest the fine phase.  BA camera
+    LR is enabled only inside the two sub-windows
+    [geo_ratio+0.2, geo_ratio+0.3] of each phase (Mapper.py:657-666).
+    ``color_refine`` applies the end-of-sequence LR overrides
+    (Mapper.py:647-652: geometry feature LRs zero, colour LR / 10).
 
     Returns {"mid": (stage_ids, lr_table), "fine": (stage_ids, lr_table)}
     with stage id 0 = geometry, 1 = color and LR columns
-    [decoders, geometry_level, color_level].
+    [decoders, geometry_level, color_level, BA_cam].
     """
     num_mid = int(n_joint * mid_ratio)
     num_fine = int(n_joint * (1 - mid_ratio))
@@ -264,14 +285,23 @@ def build_schedule(n_joint: int, mid_ratio: float, geo_ratio: float,
         for j in rng_:
             if level == "mid":
                 s = 0 if j <= A else 1
+                ba_on = (num_mid * (geo_ratio + 0.2) <= j
+                         <= num_mid * (geo_ratio + 0.3))
             else:
                 s = 0 if j <= C else 1
+                ba_on = (num_mid + num_fine * (geo_ratio + 0.2) <= j
+                         <= num_mid + num_fine * (geo_ratio + 0.3))
             g = block[names[s]]
             ids.append(s)
-            lrs.append([g["decoders_lr"],
-                        g[f"geometry_{level}_lr"], g["color_lr"]])
+            if color_refine:
+                cf = block[f"color_{level}"]
+                lrs.append([cf["decoders_lr"], 0.0, cf["color_lr"] / 10.0,
+                            0.0])
+            else:
+                lrs.append([g["decoders_lr"], g[f"geometry_{level}_lr"],
+                            g["color_lr"], ba_cam_lr if ba_on else 0.0])
         out[level] = (np.asarray(ids, np.int32),
-                      np.asarray(lrs, np.float32))
+                      np.asarray(lrs, np.float32).reshape(-1, 4))
     return out
 
 
@@ -331,8 +361,11 @@ class Mapper:
         jj, ii = np.unravel_index(sel, depth.shape)
         return ii, jj
 
-    def add_points_for_frame(self, idx, frame, c2w, npc, r_add) -> int:
-        """Non-overlap + overlap insertion batches (Mapper.py:391-462)."""
+    def add_points_for_frame(self, idx, frame, c2w, npc, r_add,
+                             r_query=None) -> int:
+        """Non-overlap + overlap insertion batches (Mapper.py:391-462),
+        plus optional colour-gradient-targeted additions
+        (Mapper.py:464-482, pixels_based_on_color_grad)."""
         slam = self.slam
         H, W = frame.depth.shape
         if idx == 0:
@@ -392,24 +425,52 @@ class Mapper:
                     record_input=(level == "fine"))
                 if level == "fine":
                     total_fine += n
+
+        if self.pixels_color_grad > 0:
+            # top colour-gradient locations, added with the smaller
+            # is_pts_grad radius semantics (Mapper.py:464-482)
+            pool = IM.top_grad_index_pool(
+                frame.color, self.pixels_color_grad, 0, H, 0, W, ratio=5,
+                gt_depth=frame.depth)
+            if pool.size > 0:
+                sel = self.rng.choice(
+                    pool, size=min(self.pixels_color_grad, pool.size),
+                    replace=False)
+                jj2, ii2 = np.unravel_index(sel, (H, W))
+                dirs2 = np.stack(
+                    [(ii2 - slam.cx) / slam.fx, -(jj2 - slam.cy) / slam.fy,
+                     -np.ones_like(ii2, np.float64)], -1).astype(np.float32)
+                rays_d2 = (dirs2 @ c2w[:3, :3].T).astype(np.float32)
+                rays_o2 = np.broadcast_to(c2w[:3, 3],
+                                          rays_d2.shape).astype(np.float32)
+                for level in ("fine", "mid"):
+                    n = npc.add_neural_points(
+                        rays_o2, rays_d2, frame.depth[jj2, ii2],
+                        frame.color[jj2, ii2], level,
+                        dynamic_radius=r_add[level][jj2, ii2],
+                        is_pts_grad=True, record_input=(level == "fine"))
+                    if level == "fine":
+                        total_fine += n
         return int(total_fine)
 
     # -- window assembly ----------------------------------------------------
-    def select_window(self, idx, frame, c2w):
+    def select_window(self, idx, frame, c2w, method: Optional[str] = None):
         """Keyframe ids to optimize, ending with [last_kf, current]
         (Mapper.py:346-363)."""
         slam = self.slam
+        method = method or self.kf_selection_method
+        win = getattr(self, "_effective_window", self.window_size)
         if len(self.keyframe_dict) == 0:
             frames = []
-        elif self.kf_selection_method == "global":
-            num = self.window_size - 2
+        elif method == "global":
+            num = win - 2
             frames = list(range(max(0, len(self.keyframe_dict) - 1 - num),
                                 len(self.keyframe_dict) - 1))
         else:
             frames = keyframe_selection_overlap(
                 self.rng, frame.depth, c2w,
                 [kf["est_c2w"] for kf in self.keyframe_dict[:-1]],
-                self.window_size - 2, slam.fx, slam.fy, slam.cx, slam.cy)
+                win - 2, slam.fx, slam.fy, slam.cx, slam.cy)
         if len(self.keyframe_list) > 0:
             frames = frames + [len(self.keyframe_list) - 1]
         frames = frames + [-1]
@@ -417,17 +478,27 @@ class Mapper:
 
     # -- main ---------------------------------------------------------------
     def map(self, idx: int, frame, npc, params, exposure_feat, key, c2w,
-            F_max: Optional[int] = None):
-        """Map one frame.  Returns (params, exposure_feat, info)."""
+            F_max: Optional[int] = None, color_refine: bool = False):
+        """Map one frame.  Returns (params, exposure_feat, info).
+
+        color_refine: end-of-sequence colour-only refinement pass
+        (Mapper.py:1061-1068: doubled window, global keyframe selection,
+        no point adding, colour LR / 10).
+        """
         slam = self.slam
         H, W = frame.depth.shape
         init = idx == 0
+
+        # long sequences use a doubled window (Mapper.py:1058-1059)
+        base_window = self.window_size * (2 if slam.n_img > 4000 else 1)
+        self._effective_window = base_window * (2 if color_refine else 1)
+        kf_method = "global" if color_refine else self.kf_selection_method
 
         r_add, r_query = IM.dynamic_radii(
             frame.color, self.radius_hierarchy, self.radius_query_ratio,
             self.color_grad_threshold)
 
-        window = self.select_window(idx, frame, c2w)
+        window = self.select_window(idx, frame, c2w, kf_method)
         if getattr(self.cfg["mapping"], "save_selected_keyframes_info", True):
             info_list = []
             for f in window:
@@ -435,22 +506,36 @@ class Mapper:
                 info_list.append({"idx": int(fi)})
             self.selected_keyframes[idx] = info_list
 
-        frame_pts_add = self.add_points_for_frame(idx, frame, c2w, npc, r_add)
+        if color_refine:
+            frame_pts_add = 0
+        else:
+            frame_pts_add = self.add_points_for_frame(idx, frame, c2w, npc,
+                                                      r_add, r_query)
+
+        # BA starts once enough keyframes exist (Mapper.py:1152-1153)
+        use_ba = (not color_refine and len(self.keyframe_list) > 4
+                  and self.cfg["mapping"]["BA"])
 
         # iteration budget (Mapper.py:605-608) with bucketing
         n_joint = self.iters_first if init else self.iters
-        if self.more_iters_when_adding and idx > 0:
+        if color_refine:
+            n_joint = self.iters * 2  # iters*10 over 5 outer passes
+        elif self.more_iters_when_adding and idx > 0:
             n = int(np.clip(n_joint * frame_pts_add / 300,
                             int(self.min_iter_ratio * n_joint), 2 * n_joint))
             n_joint = bucket_iters(n, self.iters)
         schedules = build_schedule(
-            n_joint, self.mid_iter_ratio, self.geo_iter_ratio, init,
-            self.geo_iter_first, self.lr_cfg)
+            n_joint, self.mid_iter_ratio,
+            0.0 if color_refine else self.geo_iter_ratio, init,
+            self.geo_iter_first, self.lr_cfg,
+            ba_cam_lr=self.cfg["mapping"]["BA_cam_lr"] if use_ba else 0.0,
+            color_refine=color_refine)
 
         # window stacks, padded to F_max
         F_actual = len(window)
         if F_max is None:
-            F_max = max(self.window_size + 2, F_actual)
+            F_max = max(getattr(self, "_effective_window", self.window_size)
+                        + 2, F_actual)
         colors = np.zeros((F_max, H, W, 3), np.float32)
         depths = np.zeros((F_max, H, W), np.float32)
         c2ws = np.tile(np.eye(4, dtype=np.float32), (F_max, 1, 1))
@@ -498,6 +583,20 @@ class Mapper:
             c2ws=jnp.asarray(c2ws), pools=jnp.asarray(pools),
             pool_lens=jnp.asarray(pool_lens), expo_stack=jnp.asarray(expo))
 
+        # BA camera tensors: window poses as 7-vectors; the oldest keyframe
+        # and padding slots stay frozen (Mapper.py:574-576)
+        cam_tensors = np.zeros((F_max, 7), np.float32)
+        cam_trainable = np.zeros((F_max,), bool)
+        if use_ba:
+            kf_ids = [self.keyframe_list[f] if f != -1 else idx
+                      for f in window]
+            oldest_slot = int(np.argmin(kf_ids))
+            for slot in range(F_actual):
+                cam_tensors[slot] = np.asarray(
+                    G.get_tensor_from_camera(jnp.asarray(c2ws[slot])))
+                cam_trainable[slot] = slot != oldest_slot
+        cam_tensors_j = jnp.asarray(cam_tensors)
+
         keys = jax.random.split(key, 2)
         for phase_i, level in enumerate(("mid", "fine")):
             stage_ids, lr_table = schedules[level]
@@ -513,6 +612,8 @@ class Mapper:
                     opt_params["dec"][f"geo_{level}"] = new_params[f"geo_{level}"]
             if self.use_exposure:
                 opt_params["expo_feat"] = jnp.asarray(new_expo)
+            if use_ba:
+                opt_params["cams"] = cam_tensors_j
 
             opt_state = Opt.init(opt_params)
             if shared_ostate is not None:
@@ -542,7 +643,9 @@ class Mapper:
                 fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
                 n_iters=int(stage_ids.size), use_exposure=self.use_exposure,
                 opt_color_dec=opt_color_dec, opt_geo_dec=opt_geo_dec,
-                w_color=self.w_color, **common)
+                w_color=self.w_color, use_ba=use_ba,
+                cam_trainable=(jnp.asarray(cam_trainable) if use_ba
+                               else None), **common)
 
             npc.update_geo_feats(opt_params["geo"], level)
             npc.update_col_feats(opt_params["col"], level)
@@ -552,13 +655,30 @@ class Mapper:
                 new_params[f"geo_{level}"] = opt_params["dec"][f"geo_{level}"]
             if self.use_exposure:
                 new_expo = np.asarray(opt_params["expo_feat"])
+            if use_ba:
+                cam_tensors_j = opt_params["cams"]
             shared_ostate = {"t": opt_state["t"]}
             if "expo_feat" in opt_state["m"]:
                 shared_ostate["m_expo"] = opt_state["m"]["expo_feat"]
                 shared_ostate["v_expo"] = opt_state["v"]["expo_feat"]
             losses_all.append(np.asarray(losses))
 
-        self.prev_c2w = c2w
+        updated_c2w = None
+        if use_ba:
+            # put updated poses back (Mapper.py:942-957)
+            cams_np = np.asarray(cam_tensors_j)
+            for slot, f in enumerate(window):
+                if not cam_trainable[slot]:
+                    continue
+                pose = np.eye(4, dtype=np.float32)
+                pose[:3, :] = np.asarray(
+                    G.get_camera_from_tensor(jnp.asarray(cams_np[slot])))
+                if f == -1:
+                    updated_c2w = pose
+                else:
+                    self.keyframe_dict[f]["est_c2w"] = pose
+
+        self.prev_c2w = updated_c2w if updated_c2w is not None else c2w
         loss_np = (np.concatenate(losses_all, axis=0) if losses_all
                    else np.zeros((1, 2)))
         info = {
@@ -568,6 +688,7 @@ class Mapper:
             "color_loss_last": float(loss_np[-1, 1]),
             "window": window,
             "r_query": r_query,
+            "updated_c2w": updated_c2w,
         }
         return new_params, new_expo, info
 

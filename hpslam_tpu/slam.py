@@ -145,11 +145,15 @@ class PointSLAM:
         self._metrics_f.flush()
 
     # ------------------------------------------------------------------
-    def _map_frame(self, idx: int, frame, c2w: np.ndarray):
+    def _map_frame(self, idx: int, frame, c2w: np.ndarray,
+                   color_refine: bool = False):
         t0 = time.perf_counter()
         self.params, self.exposure_feat, info = self.mapper.map(
             idx, frame, self.npc, self.params, self.exposure_feat,
-            self._next_key(), c2w)
+            self._next_key(), c2w, color_refine=color_refine)
+        if info.get("updated_c2w") is not None:  # BA adjusted current pose
+            self.estimate_c2w_list[idx] = info["updated_c2w"]
+            c2w = info["updated_c2w"]
         dt = time.perf_counter() - t0
         if self.verbose:
             print(f"[map] frame {idx}: +{info['frame_pts_add']} locs, "
@@ -248,6 +252,15 @@ class PointSLAM:
                                 self.estimate_c2w_list, self.gt_c2w_list)
             if idx % 300 == 0 or idx == n - 1:
                 self._save_point_clouds(final=(idx == n - 1))
+
+        # ---- end-of-sequence colour refinement (Mapper.py:1061-1068:
+        # 5 outer passes with doubled window, colour-only LRs)
+        if self.cfg["mapping"]["color_refine"]:
+            frame = reader[n - 1]
+            for _ in range(5):
+                self._map_frame(n - 1, frame, self.estimate_c2w_list[n - 1],
+                                color_refine=True)
+            print("Color refinement done.")
 
         # ---- end-of-sequence correction + evaluation
         if self.end_correction:

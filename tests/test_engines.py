@@ -266,3 +266,53 @@ def _tracker_fd_body(rng, GG, IT, KK, SS):
         assert abs(fd - ad) < 1e-4 * max(abs(fd), abs(ad)), (fd, ad)
         checked += 1
     assert checked >= 2
+
+
+def test_map_scan_ba_updates_poses(rng):
+    """BA: camera tensors receive gradients during the BA LR window and
+    frozen slots stay fixed."""
+    mcfg = small_cfg()
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+
+    H, W, F = 24, 32, 3
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy, -np.ones_like(ii, float)], -1)
+    depth = (2.0 / -dirs[..., 2]).astype(np.float32)
+
+    colors = np.full((F, H, W, 3), 0.5, np.float32)
+    depths = np.broadcast_to(depth, (F, H, W)).copy()
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    rq = np.full((F, H, W), 0.4, np.float32)
+    pools = np.broadcast_to(np.arange(H * W, dtype=np.int32), (F, H * W)).copy()
+    pool_lens = np.full((F,), H * W, np.int32)
+    expo_stack = np.zeros((F, 8), np.float32)
+
+    n_iters = 10
+    stage_ids = np.ones(n_iters, np.int32)
+    lr_table = np.tile(np.array([[0.0, 0.01, 0.01, 0.001]], np.float32),
+                       (n_iters, 1))
+    cams = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (F, 1))
+    cams[1, 4] = 0.02  # small perturbation on a trainable slot
+    trainable = np.array([False, True, True])
+
+    op = {"geo": geo, "col": col, "cams": jnp.asarray(cams)}
+    ost = Opt.init(op)
+    op, ost, losses = map_scan(
+        params, mcfg, rcfg, op, ost, jax.random.PRNGKey(1),
+        jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
+        jnp.asarray(rq), jnp.asarray(pools), jnp.asarray(pool_lens),
+        jnp.asarray(expo_stack), pos, count,
+        jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
+        level="fine", n_rays=128, F_max=F, H=H, W=W,
+        fx=fx, fy=fy, cx=cx, cy=cy, n_iters=n_iters, use_exposure=False,
+        opt_color_dec=False, opt_geo_dec=False, w_color=0.1,
+        use_ba=True, cam_trainable=jnp.asarray(trainable))
+    out_cams = np.asarray(op["cams"])
+    assert np.isfinite(np.asarray(losses)).all()
+    np.testing.assert_array_equal(out_cams[0], cams[0])  # frozen slot
+    assert np.abs(out_cams[1] - cams[1]).max() > 1e-6    # trainable moved
+    assert np.abs(out_cams[2] - cams[2]).max() > 1e-6
