@@ -55,6 +55,11 @@ def build_state(rng, mcfg):
 
 def main():
     import jax
+    cache_dir = os.environ.get("HPSLAM_JAX_CACHE",
+                               os.path.expanduser("~/.hpslam_jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
     from hpslam_tpu.models import decoder as Dec

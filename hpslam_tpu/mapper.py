@@ -592,8 +592,7 @@ class Mapper:
                       for f in window]
             oldest_slot = int(np.argmin(kf_ids))
             for slot in range(F_actual):
-                cam_tensors[slot] = np.asarray(
-                    G.get_tensor_from_camera(jnp.asarray(c2ws[slot])))
+                cam_tensors[slot] = G.get_tensor_from_camera_np(c2ws[slot])
                 cam_trainable[slot] = slot != oldest_slot
         cam_tensors_j = jnp.asarray(cam_tensors)
 
@@ -671,8 +670,7 @@ class Mapper:
                 if not cam_trainable[slot]:
                     continue
                 pose = np.eye(4, dtype=np.float32)
-                pose[:3, :] = np.asarray(
-                    G.get_camera_from_tensor(jnp.asarray(cams_np[slot])))
+                pose[:3, :] = G.get_camera_from_tensor_np(cams_np[slot])
                 if f == -1:
                     updated_c2w = pose
                 else:

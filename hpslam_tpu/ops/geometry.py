@@ -187,6 +187,54 @@ def project_points(points, w2c, fx, fy, cx, cy, flip_x: bool = True):
     return jnp.stack([u, v], -1), z
 
 
+# ---------------------------------------------------------------------------
+# numpy twins of the pose conversions for HOST-side per-frame bookkeeping.
+# Eager jnp ops cost a device round-trip each (~100 ms through the tunnelled
+# TPU); the host loop must never touch the device for scalar pose math.
+# Agreement with the jnp versions is unit-tested.
+
+def quad2rotation_np(quad: np.ndarray) -> np.ndarray:
+    quad = np.atleast_2d(np.asarray(quad, np.float64))
+    qr, qi, qj, qk = quad[:, 0], quad[:, 1], quad[:, 2], quad[:, 3]
+    two_s = 2.0 / np.sum(quad * quad, axis=-1)
+    rot = np.empty((quad.shape[0], 3, 3))
+    rot[:, 0, 0] = 1 - two_s * (qj**2 + qk**2)
+    rot[:, 0, 1] = two_s * (qi * qj - qk * qr)
+    rot[:, 0, 2] = two_s * (qi * qk + qj * qr)
+    rot[:, 1, 0] = two_s * (qi * qj + qk * qr)
+    rot[:, 1, 1] = 1 - two_s * (qi**2 + qk**2)
+    rot[:, 1, 2] = two_s * (qj * qk - qi * qr)
+    rot[:, 2, 0] = two_s * (qi * qk - qj * qr)
+    rot[:, 2, 1] = two_s * (qj * qk + qi * qr)
+    rot[:, 2, 2] = 1 - two_s * (qi**2 + qj**2)
+    return rot
+
+
+def rotation2quad_np(R: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+    q = Rotation.from_matrix(np.asarray(R, np.float64)).as_quat()
+    q = np.roll(q, 1, axis=-1)  # xyzw -> wxyz
+    if q.ndim == 1 and q[0] < 0:
+        q = -q
+    elif q.ndim == 2:
+        q = np.where(q[:, :1] < 0, -q, q)
+    return q
+
+
+def get_tensor_from_camera_np(RT, Tquad: bool = False) -> np.ndarray:
+    RT = np.asarray(RT)
+    quad = rotation2quad_np(RT[:3, :3])
+    T = RT[:3, 3]
+    out = np.concatenate([T, quad]) if Tquad else np.concatenate([quad, T])
+    return out.astype(np.float32)
+
+
+def get_camera_from_tensor_np(t: np.ndarray) -> np.ndarray:
+    t = np.asarray(t)
+    R = quad2rotation_np(t[:4])[0]
+    return np.concatenate([R, t[4:, None]], axis=1).astype(np.float32)
+
+
 def cart2sph(xyz: jnp.ndarray) -> jnp.ndarray:
     """Unit normals -> (inclination, azimuth) (reference neural_point.py:181-188)."""
     xy = xyz[:, 0] ** 2 + xyz[:, 1] ** 2

@@ -52,7 +52,7 @@ class PointSLAM:
         self.scale = cfg["scale"]
         self.mcfg = Dec.ModelConfig.from_cfg(cfg)
         seed = cfg.get("seed", 1219)
-        self.key = jax.random.PRNGKey(seed)
+        self._seed = seed
         self.params = Dec.init_nicer(self._next_key(), self.mcfg)
         self.load_pretrain()
 
@@ -88,8 +88,14 @@ class PointSLAM:
 
     # ------------------------------------------------------------------
     def _next_key(self):
-        self.key, k = jax.random.split(self.key)
-        return k
+        # Typed keys only: fetching any result computed from a RAW legacy
+        # uint32 key permanently degrades every subsequent dispatch on the
+        # tunnelled TPU runtime to ~6 s (empirically bisected).  One eager
+        # fold_in (~30 ms) per call is cheap by comparison.
+        self._key_counter = getattr(self, "_key_counter", 0) + 1
+        if not hasattr(self, "_base_key"):
+            self._base_key = jax.random.PRNGKey(self._seed)
+        return jax.random.fold_in(self._base_key, self._key_counter)
 
     def update_cam(self):
         """Adjust intrinsics for crop_size / crop_edge

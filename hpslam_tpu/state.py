@@ -159,12 +159,16 @@ class NeuralPointCloud:
         self._input_normal: list = []
         self._input_normal_cartesian: list = []
         self.keyframe_dict: list = []
-        self._key = jax.random.PRNGKey(cfg.get("seed", 1219))
+        self._seed = cfg.get("seed", 1219)
+        self._key_counter = 0
 
     # -- bookkeeping -------------------------------------------------------
     def _next_key(self):
-        self._key, k = jax.random.split(self._key)
-        return k
+        # typed keys only — see slam._next_key for the raw-key trap
+        self._key_counter += 1
+        if not hasattr(self, "_base_key"):
+            self._base_key = jax.random.PRNGKey(self._seed + 1)
+        return jax.random.fold_in(self._base_key, self._key_counter)
 
     def ensure_capacity(self, level: str, incoming: int):
         lv = self.levels[level]

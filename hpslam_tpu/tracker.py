@@ -214,8 +214,8 @@ class Tracker:
             return gt_c2w.copy(), {"skipped": True}, None
 
         est_init = self.initial_pose(idx, estimate_c2w_list)
-        cam_init = np.asarray(G.get_tensor_from_camera(est_init))
-        gt_cam = np.asarray(G.get_tensor_from_camera(gt_c2w))
+        cam_init = G.get_tensor_from_camera_np(est_init)
+        gt_cam = G.get_tensor_from_camera_np(gt_c2w)
         if float(np.dot(cam_init[:4], gt_cam[:4])) < 0:
             cam_init[:4] *= -1  # quaternion sign gauge (Tracker.py:381-382)
 
@@ -242,15 +242,17 @@ class Tracker:
             use_exposure=self.use_exposure, w_color=self.w_color,
             use_color=self.use_color, handle_dynamic=self.handle_dynamic)
 
+        # single batched device->host fetch (scalar fetches cost a full
+        # tunnel round-trip each)
+        best_cam, best_loss, first_loss = jax.device_get(
+            (best_cam, best_loss, first_loss))
         c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, :] = np.asarray(G.get_camera_from_tensor(best_cam))
+        c2w[:3, :] = G.get_camera_from_tensor_np(best_cam)
         info = {
             "loss_init": float(first_loss),
             "loss_best": float(best_loss),
-            "cam_error_quad": float(
-                np.abs(gt_cam[:4] - np.asarray(best_cam)[:4]).mean()),
-            "cam_error_pos": float(
-                np.abs(gt_cam[4:] - np.asarray(best_cam)[4:]).mean()),
+            "cam_error_quad": float(np.abs(gt_cam[:4] - best_cam[:4]).mean()),
+            "cam_error_pos": float(np.abs(gt_cam[4:] - best_cam[4:]).mean()),
             "r_query": r_query,
         }
         return c2w, info, op

@@ -8,9 +8,16 @@ import sys
 def main():
     # honour JAX_PLATFORMS even though the axon sitecustomize registers the
     # TPU plugin unconditionally (its registration overrides the env var)
+    import jax
     if os.environ.get("JAX_PLATFORMS"):
-        import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # persistent compilation cache: the big scan programs take minutes to
+    # compile through the tunnelled TPU; cache them across runs
+    cache_dir = os.environ.get("HPSLAM_JAX_CACHE",
+                               os.path.expanduser("~/.hpslam_jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     from hpslam_tpu import config as C
 

@@ -90,3 +90,21 @@ def test_cart2sph():
     sph = np.asarray(G.cart2sph(xyz))
     np.testing.assert_allclose(sph[0], [0.0, 0.0], atol=1e-6)
     np.testing.assert_allclose(sph[1], [np.pi / 2, 0.0], atol=1e-6)
+
+
+def test_np_pose_helpers_match_jnp(rng):
+    import jax.numpy as jnp
+    for _ in range(10):
+        R = random_rotation(rng)
+        t = rng.normal(size=3)
+        RT = np.concatenate([R, t[:, None]], axis=1)
+        v_np = G.get_tensor_from_camera_np(RT)
+        v_j = np.asarray(G.get_tensor_from_camera(jnp.asarray(RT)))
+        if v_j[0] < 0:
+            v_j = np.concatenate([-v_j[:4], v_j[4:]])
+        if v_np[0] < 0:
+            v_np = np.concatenate([-v_np[:4], v_np[4:]])
+        np.testing.assert_allclose(v_np, v_j, atol=1e-5)
+        RT_np = G.get_camera_from_tensor_np(v_np)
+        RT_j = np.asarray(G.get_camera_from_tensor(jnp.asarray(v_np)))
+        np.testing.assert_allclose(RT_np, RT_j, atol=1e-5)
