@@ -62,6 +62,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
 
+    # IMPORTANT: on the tunnelled TPU runtime, block_until_ready is a no-op
+    # until the first device->host fetch has happened in the process; do one
+    # fetch up-front so every timing below measures real execution.
+    _ = float(jnp.sum(jnp.ones((4,))))
+
     from hpslam_tpu.models import decoder as Dec
     from hpslam_tpu.ops import optim as Opt
     from hpslam_tpu.renderer import RenderConfig
@@ -99,7 +104,7 @@ def main():
             mid[0], mid[1], mid[2], mid[3],
             fine[0], fine[1], fine[2], fine[3],
             jnp.asarray(expo), **track_args)
-        jax.block_until_ready(out[0])
+        jax.block_until_ready(out)
         return out
 
     # mapping window stacks
