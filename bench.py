@@ -71,7 +71,8 @@ def main():
     from hpslam_tpu.ops import optim as Opt
     from hpslam_tpu.renderer import RenderConfig
     from hpslam_tpu.tracker import track_frame
-    from hpslam_tpu.mapper import map_scan, build_schedule
+    from hpslam_tpu.mapper import (map_scan, build_schedule,
+                                   build_pixel_knn_cache)
 
     rng = np.random.default_rng(1219)
     mcfg = Dec.ModelConfig(encode_exposure=True,
@@ -89,6 +90,7 @@ def main():
     expo = np.zeros((8,), np.float32)
     cam = np.array([1, 0, 0, 0, 0.1, 0.05, 0.2], np.float32)
 
+    level_arrays = {}
     track_args = dict(
         pixels=TRACK_PIXELS, iters_mid=TRACK_ITERS // 2,
         iters_fine=TRACK_ITERS - TRACK_ITERS // 2, W=W,
@@ -96,13 +98,14 @@ def main():
         use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True)
 
     def run_track(key):
+        m, f = level_arrays["mid"], level_arrays["fine"]
         out = track_frame(
             params, mcfg, rcfg, jnp.asarray(cam), key,
             jnp.asarray(color), jnp.asarray(depth),
             jnp.asarray(rq_mid), jnp.asarray(rq_fine),
             jnp.asarray(pool), jnp.int32(pool.size),
-            mid[0], mid[1], mid[2], mid[3],
-            fine[0], fine[1], fine[2], fine[3],
+            m[0], m[1], m[2], m[3],
+            f[0], f[1], f[2], f[3],
             jnp.asarray(expo), **track_args)
         jax.block_until_ready(out)
         return out
@@ -124,13 +127,15 @@ def main():
                             "color_fine")},
         "init": {}})
 
-    level_arrays = {"mid": mid, "fine": fine}
+    level_arrays.update({"mid": mid, "fine": fine})
     opt_by_level = {
         lvl: {"geo": level_arrays[lvl][2], "col": level_arrays[lvl][3],
               "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
               "expo_feat": jnp.asarray(expo)}
         for lvl in ("mid", "fine")
     }
+
+    P_CACHE = 2000
 
     def run_map(key, ops):
         new_ops = {}
@@ -140,11 +145,17 @@ def main():
             op = ops[lvl]
             ost = Opt.init(op)
             rq = rq_mid if lvl == "mid" else rq_fine
+            cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+                key, jnp.asarray(depths), jnp.asarray(c2ws),
+                jnp.asarray(pools), jnp.asarray(pool_lens),
+                arr[0], arr[1], P=P_CACHE, S=5, k=8, H=H, W=W,
+                fx=FX, fy=FY, cx=CX, cy=CY,
+                near_surface=0.96, far_surface=1.04)
             op, ost, losses = map_scan(
                 params, mcfg, rcfg, op, ost, key,
                 jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
                 jnp.asarray(np.broadcast_to(rq, (F, H, W)).copy()),
-                jnp.asarray(pools), jnp.asarray(pool_lens),
+                cache_pix, cacheD, cacheI,
                 jnp.asarray(expo_stack),
                 arr[0], arr[1],
                 jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
@@ -153,6 +164,11 @@ def main():
                 n_iters=int(stage_ids.size), use_exposure=True,
                 opt_color_dec=True, opt_geo_dec=False, w_color=0.1)
             new_ops[lvl] = op
+            # map_scan donates its opt buffers; refresh every live alias so
+            # later calls never touch a deleted buffer
+            arr0 = level_arrays[lvl]
+            level_arrays[lvl] = (arr0[0], arr0[1], op["geo"], op["col"])
+            params[f"col_{lvl}"] = op["dec"][f"col_{lvl}"]
         jax.block_until_ready(losses)
         return new_ops, losses
 

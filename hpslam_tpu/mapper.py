@@ -99,6 +99,53 @@ def keyframe_selection_overlap(rng: np.random.Generator, depth: np.ndarray,
 # ---------------------------------------------------------------------------
 # the jitted mapping scan
 
+@functools.partial(jax.jit, static_argnames=("P", "S", "k", "H", "W",
+                                              "fx", "fy", "cx", "cy",
+                                              "near_surface", "far_surface"))
+def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, pos, count,
+                          P: int, S: int, k: int, H: int, W: int,
+                          fx: float, fy: float, cx: float, cy: float,
+                          near_surface: float, far_surface: float):
+    """Per-mapped-frame neighbour cache: for each window frame, P cached
+    pixels x S depth-guided samples get one kNN against the level's cloud.
+
+    The reference performs the faiss search inside every one of its 600
+    optimizer iterations (SURVEY.md call stack 3.3); point positions are
+    fixed during feature optimization, so the searches differ only by which
+    pixels were sampled.  Restricting each iteration's sampling to this
+    cached subset turns ~600 searches into one, at the cost of pixel
+    diversity (P per window frame instead of the whole image; P defaults to
+    several times the per-frame ray budget).
+
+    Returns (cache_pix (F, P) flat pixel ids, D (F, P, S, k), I (F, P, S, k)).
+    """
+    F = depths.shape[0]
+    keys = jax.random.split(key, F)
+
+    def frame_queries(f):
+        r = jax.random.randint(keys[f], (P,), 0, jnp.iinfo(jnp.int32).max)
+        idx = pools[f, r % pool_lens[f]]
+        i = (idx % W).astype(jnp.float32)
+        j = (idx // W).astype(jnp.float32)
+        d = depths[f, idx // W, idx % W]
+        dirs = jnp.stack([(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)],
+                         -1)
+        R = c2ws[f, :3, :3]
+        rays_d = jnp.matmul(dirs, R.T, precision=jax.lax.Precision.HIGHEST)
+        rays_o = c2ws[f, :3, 3]
+        t = jnp.linspace(0.0, 1.0, S)
+        safe = jnp.where(d > 0, d, 1.0)
+        z = near_surface * safe[:, None] * (1 - t) \
+            + far_surface * safe[:, None] * t
+        p = rays_o[None, None, :] + rays_d[:, None, :] * z[..., None]
+        return idx, p.reshape(-1, 3)
+
+    pix, queries = jax.lax.map(frame_queries, jnp.arange(F))
+    from .ops import knn as Knn
+    D, I = Knn.knn_auto(queries.reshape(-1, 3), pos, count, k=k)
+    return pix, D.reshape(F, P, S, k), I.reshape(F, P, S, k)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
@@ -107,7 +154,7 @@ def keyframe_selection_overlap(rng: np.random.Generator, depth: np.ndarray,
     donate_argnames=("opt_params", "opt_state"))
 def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              opt_params, opt_state, key,
-             colors, depths, c2ws, rq_map, pools, pool_lens,
+             colors, depths, c2ws, rq_map, cache_pix, cacheD, cacheI,
              expo_stack,
              pos, count,
              stage_ids, lr_table,
@@ -160,13 +207,15 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                          jax.lax.stop_gradient(op["cams"]))
         return G.get_camera_from_tensor(cams)
 
+    P = cache_pix.shape[1]
+
     def sample_rays(k, op):
-        """n_rays spread over the F_actual active frames."""
+        """n_rays spread over the F_actual active frames, drawn from the
+        per-frame cached pixel subsets (see build_pixel_knn_cache)."""
         fid = (jax.lax.broadcasted_iota(jnp.int32, (n_rays, 1), 0)[:, 0]
                % F_actual)
-        plen = pool_lens[fid]
-        r = jax.random.randint(k, (n_rays,), 0, jnp.iinfo(jnp.int32).max)
-        idx = pools[fid, r % plen]
+        slot = jax.random.randint(k, (n_rays,), 0, P)
+        idx = cache_pix[fid, slot]
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
         jj, ii = idx // W, idx % W
@@ -180,11 +229,14 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         d_gt = depths[fid, jj, ii]
         c_gt = colors[fid, jj, ii]
         rq = rq_map[fid, jj, ii]
-        return fid, rays_o, rays_d, d_gt, c_gt, rq
+        kk = cacheD.shape[-1]
+        Dc = cacheD[fid, slot].reshape(-1, kk)
+        Ic = cacheI[fid, slot].reshape(-1, kk)
+        return fid, rays_o, rays_d, d_gt, c_gt, rq, (Dc, Ic)
 
     def stage_loss(op, k, stage_id):
         pr = merged_params(op)
-        fid, rays_o, rays_d, d_gt, c_gt, rq = sample_rays(k, op)
+        fid, rays_o, rays_d, d_gt, c_gt, rq, kcache = sample_rays(k, op)
         inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
                                      1.2 * jnp.max(d_gt))
 
@@ -192,7 +244,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             depth, unc, color, vmask = render_rays(
                 pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
                 pos, count, op["geo"], op["col"], rq, is_tracker=use_ba,
-                exposure_feat=None)
+                exposure_feat=None, knn_cache=kcache)
             mask = (d_gt > 0) & vmask & jnp.isfinite(depth) & inside
             geo_loss = jnp.sum(jnp.where(mask, jnp.abs(d_gt - depth), 0.0))
             if stage.startswith("geometry"):
@@ -630,10 +682,18 @@ class Mapper:
                     opt_state["v"]["expo_feat"] = shared_ostate["v_expo"]
                 opt_state["t"] = shared_ostate["t"]
 
+            cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+                keys[2 + phase_i], depths_j, c2ws_j, pools_j, pool_lens_j,
+                lv.pos, lv.count, P=P, S=self.rcfg.N_surface,
+                k=self.rcfg.nn_num, H=H, W=W,
+                fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
+                near_surface=self.rcfg.near_end_surface,
+                far_surface=self.rcfg.far_end_surface)
             opt_params, opt_state, losses = map_scan(
                 params, slam.mcfg, self.rcfg, opt_params, opt_state,
                 keys[phase_i],
                 rq_map=jnp.asarray(rqm if level == "mid" else rqf),
+                cache_pix=cache_pix, cacheD=cacheD, cacheI=cacheI,
                 pos=lv.pos, count=lv.count,
                 stage_ids=jnp.asarray(stage_ids),
                 lr_table=jnp.asarray(lr_table),

@@ -103,6 +103,95 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, count: jnp.ndarray,
     return D, jnp.asarray(I, jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "q_chunk", "n_tile", "m"))
+def knn_segmin(query: jnp.ndarray, points: jnp.ndarray, count: jnp.ndarray,
+               k: int = 8, q_chunk: int = 2500, n_tile: int | None = None,
+               m: int = 2):
+    """Segment-top-m kNN: the m smallest distances per ``n_tile``-point
+    segment, then an exact top-k over all segment candidates.
+
+    This is the TPU-shaped analogue of the reference's faiss IVF
+    approximation (nlist=400, nprobe=4, neural_point.py:211-214).  Exactness
+    fails only when more than m of the true k neighbours fall in one
+    segment; insertion de-interleaves the N_add ray siblings across the
+    array (state.add_points) so structural collisions are rare and m=2
+    suffices.  Distances are exact f32 (elementwise VPU, no
+    bf16 matmul passes, no QxN materialisation); selection is m argmin
+    passes per segment instead of a sort — ~10x faster than the exact path
+    at 500k-point scale.
+    """
+    Q = query.shape[0]
+    N_cap = points.shape[0]
+    if n_tile is None:
+        # keep >= ~128 segments so k neighbours rarely collide per segment
+        n_tile = max(256, min(2048, N_cap // 128))
+    n_tile = min(n_tile, N_cap)
+    num_tiles = -(-N_cap // n_tile)
+    pad_n = num_tiles * n_tile - N_cap
+    if pad_n:
+        points = jnp.concatenate(
+            [points, jnp.zeros((pad_n, 3), points.dtype)], axis=0)
+    q_chunk = min(q_chunk, max(Q, 1))
+    num_q = -(-Q // q_chunk)
+    pad_q = num_q * q_chunk - Q
+    if pad_q:
+        query = jnp.concatenate([query, jnp.zeros((pad_q, 3), query.dtype)], 0)
+    slot = jnp.arange(points.shape[0], dtype=jnp.int32)
+    invalid = slot >= count
+
+    def one_chunk(qc):
+        def tile_topm(t):
+            p = jax.lax.dynamic_slice(
+                points, (t * n_tile, jnp.zeros((), t.dtype)), (n_tile, 3))
+            inv = jax.lax.dynamic_slice(invalid, (t * n_tile,), (n_tile,))
+            d2 = sum(jnp.square(qc[:, c:c + 1] - p[:, c][None, :])
+                     for c in range(3))
+            d2 = jnp.where(inv[None, :], BIG, d2)
+            Ds, Is = [], []
+            for _ in range(m):
+                am = jnp.argmin(d2, axis=1)
+                dmin = jnp.take_along_axis(d2, am[:, None], 1)
+                Ds.append(dmin[:, 0])
+                Is.append(t * n_tile + am.astype(jnp.int32))
+                # mask out the extracted minimum
+                onehot = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                          == am[:, None])
+                d2 = jnp.where(onehot, BIG, d2)
+            return jnp.stack(Ds, -1), jnp.stack(Is, -1)  # (qc, m)
+
+        D, I = jax.lax.map(tile_topm, jnp.arange(num_tiles, dtype=jnp.int32))
+        D = jnp.moveaxis(D, 0, 1).reshape(qc.shape[0], num_tiles * m)
+        I = jnp.moveaxis(I, 0, 1).reshape(qc.shape[0], num_tiles * m)
+        kk = min(k, num_tiles * m)
+        negD, sel = jax.lax.top_k(-D, kk)
+        Dk = -negD
+        Ik = jnp.take_along_axis(I, sel, axis=1)
+        if kk < k:  # degenerate tiny clouds
+            padk = k - kk
+            Dk = jnp.concatenate([Dk, jnp.full((Dk.shape[0], padk), BIG)], 1)
+            Ik = jnp.concatenate([Ik, jnp.zeros((Ik.shape[0], padk),
+                                                jnp.int32)], 1)
+        return Dk, Ik
+
+    qs = query.reshape(num_q, q_chunk, 3)
+    D, I = jax.lax.map(one_chunk, qs)
+    D = D.reshape(-1, k)[:Q]
+    I = I.reshape(-1, k)[:Q]
+    I = jnp.where(D >= BIG, 0, I)
+    return D, jnp.asarray(I, jnp.int32)
+
+
+# threshold below which the exact path is cheap enough to prefer
+_EXACT_MAX_N = 1 << 15
+
+
+def knn_auto(query, points, count, k: int = 8):
+    """Dispatch: exact for small clouds, segment-min at scale."""
+    if points.shape[0] <= _EXACT_MAX_N:
+        return knn(query, points, count, k=k)
+    return knn_segmin(query, points, count, k=k)
+
+
 def neighbor_counts(D: jnp.ndarray, radius) -> jnp.ndarray:
     """Number of returned neighbours within (per-query) radius.
 

@@ -63,7 +63,8 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cloud_pos, cloud_count, geo_feats, col_feats, r_query,
                 is_tracker: bool = False, exposure_feat=None,
                 far_fallback: Optional[jnp.ndarray] = None,
-                zero_depth_z_vals: Optional[jnp.ndarray] = None):
+                zero_depth_z_vals: Optional[jnp.ndarray] = None,
+                knn_cache=None):
     """Render one batch of rays at one stage/level.
 
     Args:
@@ -82,6 +83,13 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
       zero_depth_z_vals: optional (N, N_surface) precomputed z-values to use
         where gt_depth == 0 (the sample_near_pcl path, computed by the
         caller host-side or via sample_near_pcl_z below).
+      knn_cache: optional precomputed (D, I) for the N*N_surface sample
+        positions — skips the neighbour search.  Used by the optimizer
+        loops, which freeze neighbour indices across iterations (sample
+        positions move at mm scale per step; the radius masks and the
+        tracker's differentiable distance re-derivation absorb the drift,
+        and the reference itself tolerates approximate neighbours from
+        faiss IVF).
 
     Returns: depth (N,), uncertainty (N,), color (N, 3), valid_ray_mask (N,)
     """
@@ -104,8 +112,11 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     rq = jnp.repeat(r_query, S_pts, axis=0)
 
     # one kNN per stage, shared by geometry+colour decoders of the level
-    D, I = K.knn(jax.lax.stop_gradient(p), cloud_pos, cloud_count,
-                 k=rcfg.nn_num)
+    if knn_cache is not None:
+        D, I = knn_cache
+    else:
+        D, I = K.knn_auto(jax.lax.stop_gradient(p), cloud_pos, cloud_count,
+                          k=rcfg.nn_num)
 
     views_d = None
     if mcfg.use_view_direction:
@@ -146,7 +157,7 @@ def sample_near_pcl_z(rays_o, rays_d, near, far, n_surface: int,
     N = rays_o.shape[0]
     z_probe = jnp.linspace(near, far, intervals)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[None, :, None]
-    D, I = K.knn(pts.reshape(-1, 3), cloud_pos, cloud_count, k=nn_num)
+    D, I = K.knn_auto(pts.reshape(-1, 3), cloud_pos, cloud_count, k=nn_num)
     nn = K.neighbor_counts(D, jnp.repeat(r_query, intervals, axis=0))
     has = (nn > 0).reshape(N, intervals)
 
@@ -170,7 +181,7 @@ def eval_points(params, mcfg: Dec.ModelConfig, p, cloud_pos, cloud_count,
 
     Returns (occ (N,), rgb (N, 3), point_mask (N,)).
     """
-    D, I = K.knn(p, cloud_pos, cloud_count, k=nn_num)
+    D, I = K.knn_auto(p, cloud_pos, cloud_count, k=nn_num)
     geo_dec = params[f"geo_{level}"]
     col_dec = params[f"col_{level}"]
     c_geo, has = Dec.interpolate_level_feats(

@@ -85,7 +85,7 @@ def add_points(level: PointLevel, key, rays_o, rays_d, gt_depth, valid,
     pts_gt = rays_o + rays_d * gt_depth[:, None]
 
     # zero-neighbour test within per-ray dynamic radius (neural_point.py:262-268)
-    D, _ = K.knn(pts_gt, level.pos, level.count, k=nn_num)
+    D, _ = K.knn_auto(pts_gt, level.pos, level.count, k=nn_num)
     nn = K.neighbor_counts(D, r_add)
     keep = valid & (nn == 0)
 
@@ -95,13 +95,17 @@ def add_points(level: PointLevel, key, rays_o, rays_d, gt_depth, valid,
         + far_surface * gt_depth[:, None] * t            # (B, n_add)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
-    # compact destination slots: accepted ray b gets rows
-    #   count + (rank(b)) * n_add + [0..n_add)
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1           # (B,)
-    base = level.count + rank * n_add
-    dest = base[:, None] + jnp.arange(n_add)[None, :]        # (B, n_add)
+    # compact destination slots, DE-INTERLEAVED: the n_add siblings of one
+    # accepted location go to slots count + s*n_locs + rank instead of
+    # consecutive rows.  Consecutive siblings would always share a segment
+    # of the segment-top-m kNN (ops/knn.knn_segmin) and cap its recall;
+    # striding them n_locs apart spreads them across segments.
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1            # (B,)
+    n_locs = jnp.sum(keep.astype(jnp.int32))
+    dest = (level.count + rank[:, None]
+            + n_locs * jnp.arange(n_add)[None, :])           # (B, n_add)
     cap = level.capacity
-    # rejected rows -> index cap (dropped by scatter mode clip? use explicit)
+    # rejected rows -> index cap (out of range, dropped by scatter mode)
     dest = jnp.where(keep[:, None], dest, cap)
     dest = dest.reshape(-1)
 
@@ -119,7 +123,6 @@ def add_points(level: PointLevel, key, rays_o, rays_d, gt_depth, valid,
         nrm = jnp.zeros((B * n_add, 2))
     new_normal = level.normal.at[dest].set(nrm, mode=mode)
 
-    n_locs = jnp.sum(keep.astype(jnp.int32))
     new_count = level.count + n_locs * n_add
     return level.replace(pos=new_pos, geo=new_geo, col=new_col,
                          normal=new_normal, count=new_count), n_locs

@@ -78,24 +78,29 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         expo = op["expo_feat"] if use_exposure else None
         return cam, pr, expo
 
-    def loss_fn(op, k, stage, level_arrays, r_query_map):
-        cam, pr, expo = assemble(op)
-        c2w = G.get_camera_from_tensor(cam)
+    def stage_inputs(k, r_query_map):
+        """Fixed per-stage pixel set (the reference resamples every
+        iteration, Tracker.py:128-168; freezing the set per stage turns 50
+        neighbour searches into one and de-noises the pose objective)."""
         idx = pool[jax.random.randint(k, (pixels,), 0, pool_len)]
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
         ji = (idx // W, idx % W)
+        return (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
+
+    def loss_fn(op, stage, level_arrays, inputs, knn_cache):
+        cam, pr, expo = assemble(op)
+        c2w = G.get_camera_from_tensor(cam)
+        i, j, d_gt, c_gt, rq = inputs
         rays_o, rays_d = G.get_rays_from_uv(i, j, c2w, fx, fy, cx, cy)
-        d_gt = gt_depth[ji]
-        c_gt = gt_color[ji]
-        rq = r_query_map[ji]
         pos, count, geo, col = level_arrays
 
         inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
                                      1.2 * jnp.max(d_gt))
         depth, unc, color, _ = render_rays(
             pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
-            pos, count, geo, col, rq, is_tracker=True, exposure_feat=expo)
+            pos, count, geo, col, rq, is_tracker=True, exposure_feat=expo,
+            knn_cache=knn_cache)
         unc = jax.lax.stop_gradient(unc)
         ok = inside & jnp.isfinite(depth) & jnp.isfinite(unc)
         tmp = jnp.abs(d_gt - depth) / jnp.sqrt(unc + 1e-10)
@@ -120,11 +125,12 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     mid_arrays = (pos_mid, count_mid, geo_mid, col_mid)
     fine_arrays = (pos_fine, count_fine, geo_fine, col_fine)
 
-    def make_step(stage, level_arrays, r_query_map):
-        def step(carry, k):
+    def make_step(stage, level_arrays, inputs, knn_cache):
+        def step(carry, _):
             op, ostate, best_loss, best_cam = carry
             loss, grads = jax.value_and_grad(
-                lambda o: loss_fn(o, k, stage, level_arrays, r_query_map))(op)
+                lambda o: loss_fn(o, stage, level_arrays, inputs,
+                                  knn_cache))(op)
             op, ostate = Opt.update(grads, ostate, op, lr_tree)
             cam = (jnp.concatenate([op["quad"], op["T"]])
                    if separate_lr else op["cam"])
@@ -134,15 +140,38 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             return (op, ostate, best_loss, best_cam), loss
         return step
 
+    def stage_knn(inputs, level_arrays, cam, n_surface):
+        """Single neighbour search at the stage's starting pose; iterations
+        reuse the indices (see render_rays knn_cache)."""
+        i, j, d_gt, _c, _rq = inputs
+        c2w = G.get_camera_from_tensor(cam)
+        rays_o, rays_d = G.get_rays_from_uv(i, j, c2w, fx, fy, cx, cy)
+        from .ops import sampling as Samp
+        z = Samp.surface_z_vals(jnp.where(d_gt > 0, d_gt, 1.0), n_surface,
+                                rcfg.near_end_surface, rcfg.far_end_surface,
+                                rcfg.fix_interval)
+        p = (rays_o[:, None] + rays_d[:, None] * z[..., None]).reshape(-1, 3)
+        pos, count, _g, _c2 = level_arrays
+        from .ops import knn as Knn
+        return Knn.knn_auto(p, pos, count, k=rcfg.nn_num)
+
     ostate = Opt.init(opt_params)
     carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
-    keys_mid = jax.random.split(key, iters_mid + iters_fine)
+    k_mid, k_fine = jax.random.split(key)
+
+    inputs_mid = stage_inputs(k_mid, r_query_mid)
+    cache_mid = stage_knn(inputs_mid, mid_arrays, cam_init, rcfg.N_surface)
     carry, losses_mid = jax.lax.scan(
-        make_step("color_mid", mid_arrays, r_query_mid), carry,
-        keys_mid[:iters_mid])
+        make_step("color_mid", mid_arrays, inputs_mid, cache_mid), carry,
+        None, length=iters_mid)
+
+    cam_mid = (jnp.concatenate([carry[0]["quad"], carry[0]["T"]])
+               if separate_lr else carry[0]["cam"])
+    inputs_fine = stage_inputs(k_fine, r_query_fine)
+    cache_fine = stage_knn(inputs_fine, fine_arrays, cam_mid, rcfg.N_surface)
     carry, losses_fine = jax.lax.scan(
-        make_step("color_fine", fine_arrays, r_query_fine), carry,
-        keys_mid[iters_mid:])
+        make_step("color_fine", fine_arrays, inputs_fine, cache_fine), carry,
+        None, length=iters_fine)
     op, _, best_loss, best_cam = carry
     losses = jnp.concatenate([losses_mid, losses_fine])
     return best_cam, best_loss, losses[0], losses[-1], op

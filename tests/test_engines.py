@@ -6,7 +6,8 @@ import numpy as np
 from hpslam_tpu import renderer as R
 from hpslam_tpu.models import decoder as Dec
 from hpslam_tpu.ops import optim as Opt
-from hpslam_tpu.mapper import map_scan, build_schedule, bucket_iters
+from hpslam_tpu.mapper import (map_scan, build_schedule, bucket_iters,
+                               build_pixel_knn_cache)
 from hpslam_tpu.tracker import track_frame
 
 
@@ -89,10 +90,15 @@ def test_map_scan_reduces_loss(rng):
     op = {"geo": geo, "col": col,
           "dec": {"col_fine": params["col_fine"]}}
     ost = Opt.init(op)
+    cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+        jax.random.PRNGKey(7), jnp.asarray(depths), jnp.asarray(c2ws),
+        jnp.asarray(pools), jnp.asarray(pool_lens), pos, count,
+        P=256, S=5, k=8, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        near_surface=0.96, far_surface=1.04)
     op, ost, losses = map_scan(
         params, mcfg, rcfg, op, ost, jax.random.PRNGKey(1),
         jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
-        jnp.asarray(rq), jnp.asarray(pools), jnp.asarray(pool_lens),
+        jnp.asarray(rq), cache_pix, cacheD, cacheI,
         jnp.asarray(expo_stack), pos, count,
         jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
         level="fine", n_rays=256, F_max=F, H=H, W=W,
@@ -301,10 +307,15 @@ def test_map_scan_ba_updates_poses(rng):
 
     op = {"geo": geo, "col": col, "cams": jnp.asarray(cams)}
     ost = Opt.init(op)
+    cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+        jax.random.PRNGKey(7), jnp.asarray(depths), jnp.asarray(c2ws),
+        jnp.asarray(pools), jnp.asarray(pool_lens), pos, count,
+        P=128, S=5, k=8, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        near_surface=0.96, far_surface=1.04)
     op, ost, losses = map_scan(
         params, mcfg, rcfg, op, ost, jax.random.PRNGKey(1),
         jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
-        jnp.asarray(rq), jnp.asarray(pools), jnp.asarray(pool_lens),
+        jnp.asarray(rq), cache_pix, cacheD, cacheI,
         jnp.asarray(expo_stack), pos, count,
         jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
         level="fine", n_rays=128, F_max=F, H=H, W=W,

@@ -72,3 +72,32 @@ def test_interp_weights_tracker_grad(rng):
     g = jax.grad(loss)(jnp.zeros(3))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.abs(np.asarray(g)) > 0)
+
+
+def test_knn_segmin_recall(rng):
+    """Segment-min vs exact: recall@8 >= 0.97 on a realistic surface-like
+    cloud (insertion order spreads spatial neighbors across segments)."""
+    import jax
+    from hpslam_tpu.ops.knn import knn_segmin
+    N, Q = 60_000, 1500
+    # surface-ish cloud: wall patches at random depths, inserted frame-wise
+    pts = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    pts[:, 2] = np.round(pts[:, 2] * 2) / 2 + rng.normal(0, 0.01, N)
+    q = (pts[rng.integers(0, N, Q)] + rng.normal(0, 0.05, (Q, 3))).astype(np.float32)
+    D_e, I_e = K.knn(jnp.asarray(q), jnp.asarray(pts), jnp.int32(N), k=8)
+    D_s, I_s = knn_segmin(jnp.asarray(q), jnp.asarray(pts), jnp.int32(N), k=8)
+    e, s = np.asarray(I_e), np.asarray(I_s)
+    recall = np.mean([len(set(e[i]) & set(s[i])) / 8 for i in range(Q)])
+    assert recall >= 0.97, recall
+    # the top-1 neighbour is exact (its segment minimum is itself)
+    np.testing.assert_array_equal(e[:, 0], s[:, 0])
+
+
+def test_knn_segmin_masks_inactive(rng):
+    from hpslam_tpu.ops.knn import knn_segmin
+    pts = np.zeros((8192, 3), np.float32)
+    pts[:100] = rng.uniform(-1, 1, (100, 3))
+    pts[100:] = 0.0  # inactive garbage at origin
+    q = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    D, I = knn_segmin(jnp.asarray(q), jnp.asarray(pts), jnp.int32(100), k=8)
+    assert int(np.asarray(I).max()) < 100
