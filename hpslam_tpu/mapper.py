@@ -346,9 +346,11 @@ def build_schedule(n_joint: int, mid_ratio: float, geo_ratio: float,
             g = block[names[s]]
             ids.append(s)
             if color_refine:
+                # end-of-sequence refinement freezes the colour decoder too
+                # (src/Mapper.py:1066 sets fix_color_decoder = True): only
+                # the colour features move, at color_lr / 10.
                 cf = block[f"color_{level}"]
-                lrs.append([cf["decoders_lr"], 0.0, cf["color_lr"] / 10.0,
-                            0.0])
+                lrs.append([0.0, 0.0, cf["color_lr"] / 10.0, 0.0])
             else:
                 lrs.append([g["decoders_lr"], g[f"geometry_{level}_lr"],
                             g["color_lr"], ba_cam_lr if ba_on else 0.0])
@@ -551,7 +553,7 @@ class Mapper:
             self.color_grad_threshold)
 
         window = self.select_window(idx, frame, c2w, kf_method)
-        if getattr(self.cfg["mapping"], "save_selected_keyframes_info", True):
+        if self.cfg["mapping"].get("save_selected_keyframes_info", True):
             info_list = []
             for f in window:
                 fi = self.keyframe_list[f] if f != -1 else idx
@@ -630,10 +632,19 @@ class Mapper:
         losses_all = []
         shared_ostate = None  # threads decoder/exposure Adam moments
 
+        depths_j = jnp.asarray(depths)
+        c2ws_j = jnp.asarray(c2ws)
+        pools_j = jnp.asarray(pools)
+        pool_lens_j = jnp.asarray(pool_lens)
+        # cached-pixel pool size per window frame (see build_pixel_knn_cache):
+        # several times the per-frame ray budget so each scan iteration still
+        # sees a fresh subset.
+        P = int(self.cfg["mapping"].get(
+            "pixels_knn_cache",
+            max(2000, 4 * (n_rays // max(1, F_actual)))))
         common = dict(
-            colors=jnp.asarray(colors), depths=jnp.asarray(depths),
-            c2ws=jnp.asarray(c2ws), pools=jnp.asarray(pools),
-            pool_lens=jnp.asarray(pool_lens), expo_stack=jnp.asarray(expo))
+            colors=jnp.asarray(colors), depths=depths_j,
+            c2ws=c2ws_j, expo_stack=jnp.asarray(expo))
 
         # BA camera tensors: window poses as 7-vectors; the oldest keyframe
         # and padding slots stay frozen (Mapper.py:574-576)
@@ -648,7 +659,7 @@ class Mapper:
                 cam_trainable[slot] = slot != oldest_slot
         cam_tensors_j = jnp.asarray(cam_tensors)
 
-        keys = jax.random.split(key, 2)
+        keys = jax.random.split(key, 4)
         for phase_i, level in enumerate(("mid", "fine")):
             stage_ids, lr_table = schedules[level]
             if stage_ids.size == 0:
