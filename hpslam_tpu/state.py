@@ -141,6 +141,7 @@ class NeuralPointCloud:
 
     def __init__(self, cfg: dict, initial_capacity: int = 1 << 16):
         pc = cfg["pointcloud"]
+        initial_capacity = int(pc.get("initial_capacity", initial_capacity))
         self.cfg = cfg
         self.c_dim = cfg["model"]["c_dim"]
         self.nn_num = pc["nn_num"]

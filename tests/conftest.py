@@ -23,6 +23,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "e2e: end-to-end product-path test (slow, compile-bound)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1219)
