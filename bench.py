@@ -68,11 +68,13 @@ def main():
     _ = float(jnp.sum(jnp.ones((4,))))
 
     from hpslam_tpu.models import decoder as Dec
+    from hpslam_tpu.ops import knn as K
     from hpslam_tpu.ops import optim as Opt
     from hpslam_tpu.renderer import RenderConfig
     from hpslam_tpu.tracker import track_frame
     from hpslam_tpu.mapper import (map_scan, build_schedule,
-                                   build_pixel_knn_cache)
+                                   build_pixel_knn_cache, compact_scene,
+                                   count_unique, unique_bucket)
 
     rng = np.random.default_rng(1219)
     mcfg = Dec.ModelConfig(encode_exposure=True,
@@ -97,27 +99,39 @@ def main():
         fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
         use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True)
 
+    # tile indexes are built once per mapping frame in the product
+    # (NeuralPointCloud.index); here positions are static
+    indexes = {}
+
+    color_j, depth_j = jnp.asarray(color), jnp.asarray(depth)
+    rqm_j, rqf_j = jnp.asarray(rq_mid), jnp.asarray(rq_fine)
+    pool_j = jnp.asarray(pool)
+
     def run_track(key):
         m, f = level_arrays["mid"], level_arrays["fine"]
         out = track_frame(
             params, mcfg, rcfg, jnp.asarray(cam), key,
-            jnp.asarray(color), jnp.asarray(depth),
-            jnp.asarray(rq_mid), jnp.asarray(rq_fine),
-            jnp.asarray(pool), jnp.int32(pool.size),
-            m[0], m[1], m[2], m[3],
-            f[0], f[1], f[2], f[3],
+            color_j, depth_j,
+            rqm_j, rqf_j,
+            pool_j, jnp.int32(pool.size),
+            m[0], m[1], m[2], m[3], indexes["mid"],
+            f[0], f[1], f[2], f[3], indexes["fine"],
             jnp.asarray(expo), **track_args)
         jax.block_until_ready(out)
         return out
 
-    # mapping window stacks
+    # mapping window stacks — device-resident (uploading ~90 MB of window
+    # stacks through the tunnel per call would swamp the measurement; the
+    # product keeps keyframe stacks device-resident too)
     F = WINDOW
-    colors = np.broadcast_to(color, (F, H, W, 3)).copy()
-    depths = np.broadcast_to(depth, (F, H, W)).copy()
-    c2ws = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
-    pools = np.broadcast_to(pool, (F, H * W)).copy()
-    pool_lens = np.full((F,), pool.size, np.int32)
-    expo_stack = np.zeros((F, 8), np.float32)
+    colors = jnp.asarray(np.broadcast_to(color, (F, H, W, 3)).copy())
+    depths = jnp.asarray(np.broadcast_to(depth, (F, H, W)).copy())
+    c2ws = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (F, 1, 1)))
+    pools = jnp.asarray(np.broadcast_to(pool, (F, H * W)).copy())
+    pool_lens = jnp.asarray(np.full((F,), pool.size, np.int32))
+    expo_stack = jnp.asarray(np.zeros((F, 8), np.float32))
+    rq_stack = {"mid": jnp.asarray(np.broadcast_to(rq_mid, (F, H, W)).copy()),
+                "fine": jnp.asarray(np.broadcast_to(rq_fine, (F, H, W)).copy())}
     schedules = build_schedule(MAP_ITERS, 0.5, 0.3, False, 200, {
         "stage": {s: {"decoders_lr": 0.005 if "color" in s else 0.001,
                       "geometry_mid_lr": 0.03 if "geometry" in s else 0.005,
@@ -128,56 +142,64 @@ def main():
         "init": {}})
 
     level_arrays.update({"mid": mid, "fine": fine})
-    opt_by_level = {
-        lvl: {"geo": level_arrays[lvl][2], "col": level_arrays[lvl][3],
-              "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
-              "expo_feat": jnp.asarray(expo)}
-        for lvl in ("mid", "fine")
-    }
 
     P_CACHE = 2000
 
-    def run_map(key, ops):
-        new_ops = {}
+    def run_map(key):
+        """Both level phases with the product's compact-row optimization
+        path (see mapper.compact_scene)."""
         for lvl in ("mid", "fine"):
             stage_ids, lr_table = schedules[lvl]
             arr = level_arrays[lvl]
-            op = ops[lvl]
-            ost = Opt.init(op)
-            rq = rq_mid if lvl == "mid" else rq_fine
             cache_pix, cacheD, cacheI = build_pixel_knn_cache(
-                key, jnp.asarray(depths), jnp.asarray(c2ws),
-                jnp.asarray(pools), jnp.asarray(pool_lens),
-                arr[0], arr[1], P=P_CACHE, S=5, k=8, H=H, W=W,
+                key, depths, c2ws, pools, pool_lens,
+                indexes[lvl], P=P_CACHE, S=5, k=8, H=H, W=W,
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 near_surface=0.96, far_surface=1.04)
+            U = unique_bucket(int(count_unique(cacheI)), arr[0].shape[0])
+            uniq, cacheI, pos_c, geo_c, col_c = compact_scene(
+                cacheI, arr[0], arr[2], arr[3], U)
+            op = {"geo": geo_c, "col": col_c,
+                  "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
+                  "expo_feat": jnp.asarray(expo)}
+            ost = Opt.init(op)
             op, ost, losses = map_scan(
                 params, mcfg, rcfg, op, ost, key,
-                jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
-                jnp.asarray(np.broadcast_to(rq, (F, H, W)).copy()),
+                colors, depths, c2ws,
+                rq_stack[lvl],
                 cache_pix, cacheD, cacheI,
-                jnp.asarray(expo_stack),
-                arr[0], arr[1],
+                expo_stack,
+                pos_c, jnp.int32(U),
                 jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
                 level=lvl, n_rays=MAP_RAYS, F_max=F, H=H, W=W,
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 n_iters=int(stage_ids.size), use_exposure=True,
                 opt_color_dec=True, opt_geo_dec=False, w_color=0.1)
-            new_ops[lvl] = op
-            # map_scan donates its opt buffers; refresh every live alias so
-            # later calls never touch a deleted buffer
             arr0 = level_arrays[lvl]
-            level_arrays[lvl] = (arr0[0], arr0[1], op["geo"], op["col"])
+            level_arrays[lvl] = (
+                arr0[0], arr0[1],
+                arr0[2].at[uniq].set(op["geo"], mode="drop"),
+                arr0[3].at[uniq].set(op["col"], mode="drop"))
             params[f"col_{lvl}"] = op["dec"][f"col_{lvl}"]
         jax.block_until_ready(losses)
-        return new_ops, losses
+        return losses
 
     key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, 8)
 
+    # index build (timed separately after a compile warmup; amortized into
+    # map_ms below since the product rebuilds after each mapping frame's
+    # insertions)
+    indexes["mid"] = K.build_tiles(mid[0], mid[1])
+    indexes["fine"] = jax.block_until_ready(K.build_tiles(fine[0], fine[1]))
+    t0 = time.perf_counter()
+    indexes["mid"] = K.build_tiles(mid[0], mid[1])
+    indexes["fine"] = jax.block_until_ready(K.build_tiles(fine[0], fine[1]))
+    index_ms = (time.perf_counter() - t0) * 1e3
+
     # warmup / compile
     run_track(keys[0])
-    op, _ = run_map(keys[1], opt_by_level)
+    run_map(keys[1])
 
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
@@ -187,8 +209,8 @@ def main():
 
     t0 = time.perf_counter()
     for r in range(max(1, n_rep - 2)):
-        op, _ = run_map(keys[3 + r % 4], op)
-    map_ms = (time.perf_counter() - t0) / max(1, n_rep - 2) * 1e3
+        run_map(keys[3 + r % 4])
+    map_ms = (time.perf_counter() - t0) / max(1, n_rep - 2) * 1e3 + index_ms
 
     per_frame_ms = track_ms + map_ms / EVERY
     result = {
@@ -198,6 +220,7 @@ def main():
         "vs_baseline": round(REF_ESTIMATE_MS / per_frame_ms, 2),
         "detail": {"track_ms": round(track_ms, 2),
                    "map_ms": round(map_ms, 2),
+                   "index_build_ms": round(index_ms, 2),
                    "platform": str(__import__("jax").devices()[0]).strip()},
     }
     print(json.dumps(result))

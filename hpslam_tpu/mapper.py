@@ -102,7 +102,7 @@ def keyframe_selection_overlap(rng: np.random.Generator, depth: np.ndarray,
 @functools.partial(jax.jit, static_argnames=("P", "S", "k", "H", "W",
                                               "fx", "fy", "cx", "cy",
                                               "near_surface", "far_surface"))
-def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, pos, count,
+def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, tile_index,
                           P: int, S: int, k: int, H: int, W: int,
                           fx: float, fy: float, cx: float, cy: float,
                           near_surface: float, far_surface: float):
@@ -142,8 +142,44 @@ def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, pos, count,
 
     pix, queries = jax.lax.map(frame_queries, jnp.arange(F))
     from .ops import knn as Knn
-    D, I = Knn.knn_auto(queries.reshape(-1, 3), pos, count, k=k)
+    D, I = Knn.knn_tiles(queries.reshape(-1, 3), *tile_index, k=k)
     return pix, D.reshape(F, P, S, k), I.reshape(F, P, S, k)
+
+
+@jax.jit
+def count_unique(cacheI):
+    s = jnp.sort(cacheI.reshape(-1))
+    return 1 + jnp.sum(s[1:] != s[:-1])
+
+
+@functools.partial(jax.jit, static_argnames=("U",))
+def compact_scene(cacheI, pos, geo, col, U: int):
+    """Compact the scene to the feature rows the phase will touch.
+
+    With the per-frame kNN cache, the whole phase scan can only ever gather
+    rows listed in ``cacheI`` — so the dense Adam / gradient traffic over
+    the full fixed-capacity arrays (the mapping wall-clock killer on TPU:
+    the reference's frustum masking, Mapper.py:500-556, served the same
+    purpose on CUDA) is replaced by a one-off gather into a U-row compact
+    table, the scan over compact arrays, and a scatter back.
+
+    Returns (uniq (U,) original row ids, padding == capacity;
+             cacheI_c remapped cache; pos/geo/col compact (U, ...) tables).
+    """
+    cap = pos.shape[0]
+    flat = cacheI.reshape(-1)
+    uniq = jnp.unique(flat, size=U, fill_value=cap)
+    remap = jnp.searchsorted(uniq, flat).astype(jnp.int32).reshape(cacheI.shape)
+    safe = jnp.minimum(uniq, cap - 1)
+    return uniq, remap, pos[safe], geo[safe], col[safe]
+
+
+def unique_bucket(n: int, cap: int, lo: int = 1 << 13) -> int:
+    """Next power-of-two >= n (few XLA program shapes across frames)."""
+    u = lo
+    while u < n:
+        u <<= 1
+    return min(u, cap)
 
 
 @functools.partial(
@@ -408,6 +444,15 @@ class Mapper:
         self.keyframe_dict: List[dict] = []
         self.selected_keyframes: Dict[int, list] = {}
 
+    def _zero_slot(self, H: int, W: int):
+        """Cached device-resident zero frame for window padding slots."""
+        if getattr(self, "_zeros_hw", None) != (H, W):
+            self._zeros_hw = (H, W)
+            self._zeros = {"c": jnp.zeros((H, W, 3), jnp.float32),
+                           "d": jnp.zeros((H, W), jnp.float32),
+                           "p": jnp.zeros((H * W,), jnp.int32)}
+        return self._zeros
+
     # -- point adding -------------------------------------------------------
     def _sample_valid(self, depth: np.ndarray, n: int):
         pool = IM.valid_pixel_pool(depth, 0, depth.shape[0], 0, depth.shape[1])
@@ -585,43 +630,50 @@ class Mapper:
             ba_cam_lr=self.cfg["mapping"]["BA_cam_lr"] if use_ba else 0.0,
             color_refine=color_refine)
 
-        # window stacks, padded to F_max
+        # window stacks, padded to F_max — assembled ON DEVICE from the
+        # device-resident keyframe twins (uploading ~90 MB of window stacks
+        # per mapped frame dominated mapping wall-clock before)
         F_actual = len(window)
         if F_max is None:
             F_max = max(getattr(self, "_effective_window", self.window_size)
                         + 2, F_actual)
-        colors = np.zeros((F_max, H, W, 3), np.float32)
-        depths = np.zeros((F_max, H, W), np.float32)
+        z = self._zero_slot(H, W)
+        cols_l, deps_l, rqm_l, rqf_l, pools_l = [], [], [], [], []
         c2ws = np.tile(np.eye(4, dtype=np.float32), (F_max, 1, 1))
-        rqm = np.zeros((F_max, H, W), np.float32)
-        rqf = np.zeros((F_max, H, W), np.float32)
-        pools = np.zeros((F_max, H * W), np.int32)
         pool_lens = np.ones((F_max,), np.int32)
         expo = np.zeros((F_max, self.cfg["model"]["exposure_dim"]), np.float32)
-        active = np.zeros((F_max,), bool)
 
         for slot, f in enumerate(window):
             if f == -1:
-                col, dep, pose = frame.color, frame.depth, c2w
-                rm, rf = r_query["mid"], r_query["fine"]
-                ef = np.asarray(exposure_feat)
+                cols_l.append(frame.color_j)
+                deps_l.append(frame.depth_j)
+                rqm_l.append(jnp.asarray(r_query["mid"]))
+                rqf_l.append(jnp.asarray(r_query["fine"]))
+                pool = IM.valid_pixel_pool(frame.depth, 0, H, 0, W)
+                pj = np.zeros((H * W,), np.int32)
+                pj[: pool.size] = pool
+                pools_l.append(jnp.asarray(pj))
+                pool_lens[slot] = max(pool.size, 1)
+                c2ws[slot] = c2w
+                expo[slot] = np.asarray(exposure_feat)
             else:
                 kf = self.keyframe_dict[f]
-                col, dep, pose = kf["color"], kf["depth"], kf["est_c2w"]
-                rm, rf = kf["r_query_mid"], kf["r_query_fine"]
-                ef = kf.get("exposure_feat", np.zeros_like(np.asarray(exposure_feat)))
-            colors[slot] = col
-            depths[slot] = dep
-            c2ws[slot] = pose
-            rqm[slot] = rm
-            rqf[slot] = rf
-            expo[slot] = ef
-            pool = IM.valid_pixel_pool(dep, 0, H, 0, W)
-            if pool.size == 0:
-                pool = np.zeros((1,), np.int64)
-            pools[slot, : pool.size] = pool
-            pool_lens[slot] = pool.size
-            active[slot] = True
+                cols_l.append(kf["color_j"])
+                deps_l.append(kf["depth_j"])
+                rqm_l.append(kf["rqm_j"])
+                rqf_l.append(kf["rqf_j"])
+                pools_l.append(kf["pool_j"])
+                pool_lens[slot] = kf["pool_len"]
+                c2ws[slot] = kf["est_c2w"]
+                expo[slot] = kf.get(
+                    "exposure_feat",
+                    np.zeros_like(np.asarray(exposure_feat)))
+        pad_n = F_max - F_actual
+        colors = jnp.stack(cols_l + [z["c"]] * pad_n)
+        depths_dev = jnp.stack(deps_l + [z["d"]] * pad_n)
+        rqm = jnp.stack(rqm_l + [z["d"]] * pad_n)
+        rqf = jnp.stack(rqf_l + [z["d"]] * pad_n)
+        pools = jnp.stack(pools_l + [z["p"]] * pad_n)
 
         # optimizable pytrees, one phase per level (see map_scan docstring)
         opt_color_dec = not self.fix_color_decoder
@@ -632,9 +684,9 @@ class Mapper:
         losses_all = []
         shared_ostate = None  # threads decoder/exposure Adam moments
 
-        depths_j = jnp.asarray(depths)
+        depths_j = depths_dev
         c2ws_j = jnp.asarray(c2ws)
-        pools_j = jnp.asarray(pools)
+        pools_j = pools
         pool_lens_j = jnp.asarray(pool_lens)
         # cached-pixel pool size per window frame (see build_pixel_knn_cache):
         # several times the per-frame ray budget so each scan iteration still
@@ -643,7 +695,7 @@ class Mapper:
             "pixels_knn_cache",
             max(2000, 4 * (n_rays // max(1, F_actual)))))
         common = dict(
-            colors=jnp.asarray(colors), depths=depths_j,
+            colors=colors, depths=depths_j,
             c2ws=c2ws_j, expo_stack=jnp.asarray(expo))
 
         # BA camera tensors: window poses as 7-vectors; the oldest keyframe
@@ -665,7 +717,20 @@ class Mapper:
             if stage_ids.size == 0:
                 continue
             lv = npc.levels[level]
-            opt_params = {"geo": lv.geo, "col": lv.col}
+            cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+                keys[2 + phase_i], depths_j, c2ws_j, pools_j, pool_lens_j,
+                npc.index(level), P=P, S=self.rcfg.N_surface,
+                k=self.rcfg.nn_num, H=H, W=W,
+                fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
+                near_surface=self.rcfg.near_end_surface,
+                far_surface=self.rcfg.far_end_surface)
+            # compact the scene to the rows this phase can touch (see
+            # compact_scene) — the scan's Adam then runs over U rows
+            # instead of the full capacity
+            U = unique_bucket(int(count_unique(cacheI)), lv.capacity)
+            uniq, cacheI, pos_c, geo_c, col_c = compact_scene(
+                cacheI, lv.pos, lv.geo, lv.col, U)
+            opt_params = {"geo": geo_c, "col": col_c}
             if opt_color_dec or opt_geo_dec:
                 opt_params["dec"] = {}
                 if opt_color_dec:
@@ -693,19 +758,12 @@ class Mapper:
                     opt_state["v"]["expo_feat"] = shared_ostate["v_expo"]
                 opt_state["t"] = shared_ostate["t"]
 
-            cache_pix, cacheD, cacheI = build_pixel_knn_cache(
-                keys[2 + phase_i], depths_j, c2ws_j, pools_j, pool_lens_j,
-                lv.pos, lv.count, P=P, S=self.rcfg.N_surface,
-                k=self.rcfg.nn_num, H=H, W=W,
-                fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
-                near_surface=self.rcfg.near_end_surface,
-                far_surface=self.rcfg.far_end_surface)
             opt_params, opt_state, losses = map_scan(
                 params, slam.mcfg, self.rcfg, opt_params, opt_state,
                 keys[phase_i],
-                rq_map=jnp.asarray(rqm if level == "mid" else rqf),
+                rq_map=rqm if level == "mid" else rqf,
                 cache_pix=cache_pix, cacheD=cacheD, cacheI=cacheI,
-                pos=lv.pos, count=lv.count,
+                pos=pos_c, count=jnp.int32(U),
                 stage_ids=jnp.asarray(stage_ids),
                 lr_table=jnp.asarray(lr_table),
                 F_actual=jnp.int32(F_actual), level=level,
@@ -717,8 +775,8 @@ class Mapper:
                 cam_trainable=(jnp.asarray(cam_trainable) if use_ba
                                else None), **common)
 
-            npc.update_geo_feats(opt_params["geo"], level)
-            npc.update_col_feats(opt_params["col"], level)
+            npc.scatter_feats(uniq, opt_params["geo"], opt_params["col"],
+                              level)
             if opt_color_dec:
                 new_params[f"col_{level}"] = opt_params["dec"][f"col_{level}"]
             if opt_geo_dec:
@@ -770,6 +828,12 @@ class Mapper:
         if not np.isfinite(gt_c2w).all():
             return False
         self.keyframe_list.append(idx)
+        H, W = frame.depth.shape
+        pool = IM.valid_pixel_pool(frame.depth, 0, H, 0, W)
+        pj = np.zeros((H * W,), np.int32)
+        pj[: pool.size] = pool
+        # keys ending in "_j" are device twins (window stacks are assembled
+        # on device); the Logger strips them from checkpoints.
         self.keyframe_dict.append({
             "idx": idx,
             "color": frame.color.copy(),
@@ -779,5 +843,11 @@ class Mapper:
             "r_query_mid": r_query["mid"].copy(),
             "r_query_fine": r_query["fine"].copy(),
             "exposure_feat": np.asarray(exposure_feat).copy(),
+            "color_j": frame.color_j,
+            "depth_j": frame.depth_j,
+            "rqm_j": jnp.asarray(r_query["mid"]),
+            "rqf_j": jnp.asarray(r_query["fine"]),
+            "pool_j": jnp.asarray(pj),
+            "pool_len": int(max(pool.size, 1)),
         })
         return True

@@ -66,13 +66,61 @@ def interp_weights(D, I, p, cloud_pos, r_query, min_nn_num: int,
     return w[..., None], has_neighbors
 
 
+# TPU scatter-add runs ~6x slower once the target table exceeds ~40 MB
+# (327680 x 32 f32) — the lowering falls off its fast (VMEM-resident) path.
+# Splitting one scatter into per-destination-range partial scatters keeps
+# every partial target under the cliff: measured 16 ms vs 56 ms for 400k
+# row-updates into a 2^19 x 32 table.
+_SCATTER_FAST_ROWS = 327_680
+_SCATTER_PART_ROWS = 262_144
+
+
+def _split_scatter_add(rows: int, cols: int, idx, upd):
+    """Zeros (rows, cols) table += upd at idx, via range-split scatters."""
+    if rows <= _SCATTER_FAST_ROWS:
+        return jnp.zeros((rows, cols), upd.dtype).at[idx].add(upd)
+    parts = -(-rows // _SCATTER_PART_ROWS)
+    outs = []
+    for pi in range(parts):
+        lo = pi * _SCATTER_PART_ROWS
+        size = min(_SCATTER_PART_ROWS, rows - lo)
+        inr = (idx >= lo) & (idx < lo + size)
+        ii = jnp.where(inr, idx - lo, size)  # out-of-range -> dropped
+        outs.append(jnp.zeros((size, cols), upd.dtype).at[ii].add(
+            jnp.where(inr[:, None], upd, 0.0), mode="drop"))
+    return jnp.concatenate(outs, axis=0)
+
+
+@jax.custom_vjp
+def _interp_gather(feats, I, weights):
+    """sum_k w_k * feats[I_k] with a split-scatter backward (see above)."""
+    return jnp.sum(weights * feats[I], axis=1)
+
+
+def _interp_gather_fwd(feats, I, weights):
+    gathered = feats[I]  # (Q, k, C) — saved so bwd needn't re-gather
+    return jnp.sum(weights * gathered, axis=1), (I, weights, gathered,
+                                                 feats.shape[0])
+
+
+def _interp_gather_bwd(res, dc):
+    I, weights, gathered, rows = res
+    upd = (weights * dc[:, None, :]).reshape(-1, dc.shape[-1])
+    dfeats = _split_scatter_add(rows, dc.shape[-1], I.reshape(-1), upd)
+    dw = jnp.sum(gathered * dc[:, None, :], axis=-1, keepdims=True)
+    return dfeats, None, dw
+
+
+_interp_gather.defvjp(_interp_gather_fwd, _interp_gather_bwd)
+
+
 def weighted_gather(feats, I, weights, has_neighbors, fill=None):
     """c = sum_k w_k * feats[I_k]; rows without neighbours get ``fill``
     (zeros by default — the reference uses N(0, 0.01) noise, decoder.py:262-263,
     but those rows are force-masked to occupancy -100 downstream so the value
     is immaterial; zeros keep the pipeline deterministic).
     """
-    c = jnp.sum(weights * feats[I], axis=1)
+    c = _interp_gather(feats, I, weights)
     if fill is None:
         fill = jnp.zeros_like(c)
     return jnp.where(has_neighbors[:, None], c, fill)

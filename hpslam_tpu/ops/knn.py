@@ -181,6 +181,122 @@ def knn_segmin(query: jnp.ndarray, points: jnp.ndarray, count: jnp.ndarray,
     return D, jnp.asarray(I, jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Tile index ("sorted cell slabs"): the TPU analogue of faiss IVF
+# (reference src/neural_point.py:65-67 — IndexIVFFlat nlist=400 nprobe=4).
+# The cloud is Morton-sorted so fixed-size contiguous tiles are spatially
+# compact; each query prunes tiles by a bounding-sphere distance lower bound
+# and runs exact distances only on the best ``probe`` tiles.  Unlike faiss's
+# O(N) per-insertion retrain (neural_point.py:325), rebuilding is one
+# device-side sort, and the search is recall-tunable via ``probe``.
+
+def _spread_bits(x):
+    """Interleave-ready 10-bit spread (classic Morton bit twiddling)."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def build_tiles(points: jnp.ndarray, count: jnp.ndarray, tile: int = 128):
+    """Build the tile index.
+
+    Returns (sorted_pos (N_cap, 3) — invalid rows pushed to the end and set
+    to a far sentinel; perm (N_cap,) original row ids; centroids (T, 3);
+    radii (T,)).  N_cap must be a multiple of ``tile`` (capacities are
+    powers of two).
+    """
+    N_cap = points.shape[0]
+    assert N_cap % tile == 0, "capacity must be a multiple of tile"
+    slot = jnp.arange(N_cap, dtype=jnp.int32)
+    valid = slot < count
+    lo = jnp.min(jnp.where(valid[:, None], points, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], points, -jnp.inf), axis=0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
+    scale = 1023.0 / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((points - lo) * scale, 0.0, 1023.0).astype(jnp.uint32)
+    key = (_spread_bits(q[:, 0]) | (_spread_bits(q[:, 1]) << 1)
+           | (_spread_bits(q[:, 2]) << 2))
+    key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key).astype(jnp.int32)
+    sorted_pos = points[perm]
+    sorted_valid = perm < count
+    sorted_pos = jnp.where(sorted_valid[:, None], sorted_pos, 1e6)
+
+    # per-tile AABBs (tight lower bounds even for elongated Morton tiles;
+    # bounding spheres lose ~4% recall on wall-like clouds).  Everything is
+    # stored SoA / coordinate-major: (3, ...) leading axes keep the hot
+    # elementwise ops on well-lane-tiled (Q, T) shapes instead of a
+    # trailing length-3 axis the VPU can't tile.
+    tp = sorted_pos.reshape(-1, tile, 3)
+    tv = sorted_valid.reshape(-1, tile)
+    tlo = jnp.min(jnp.where(tv[..., None], tp, 1e6), axis=1).T  # (3, T)
+    thi = jnp.max(jnp.where(tv[..., None], tp, -1e6), axis=1).T  # (3, T)
+    pos_tiles = jnp.moveaxis(tp, -1, 0).reshape(3, -1, tile)  # (3, T, tile)
+    return pos_tiles, perm, tlo, thi
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "probe", "q_chunk"))
+def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
+              tile_lo: jnp.ndarray, tile_hi: jnp.ndarray,
+              k: int = 8, tile: int = 128, probe: int = 16,
+              q_chunk: int = 4096):
+    """kNN via the tile index: prune to the ``probe`` tiles with the
+    smallest AABB lower bound, exact squared distances on their candidates,
+    top-k merge.  Recall vs exact is ~0.996 at probe=16 on wall-like clouds
+    (tests/test_knn.py, KDTree oracle).
+    """
+    Q = query.shape[0]
+    q_chunk = min(q_chunk, max(Q, 1))
+    num_q = -(-Q // q_chunk)
+    pad_q = num_q * q_chunk - Q
+    if pad_q:
+        query = jnp.concatenate([query, jnp.zeros((pad_q, 3), query.dtype)], 0)
+
+    T = tile_lo.shape[1]
+    probe = min(probe, T)
+    perm_tiles = perm.reshape(T, tile)
+
+    def one_chunk(q):  # (qc, 3)
+        qc = q.shape[0]
+        # squared AABB lower bound per tile — exact f32, per-coordinate on
+        # (qc, T) shapes (a centroid matmul here hits catastrophic bf16
+        # cancellation: the |q|^2 terms dwarf the cm-scale differences that
+        # order the tiles)
+        lb2 = 0.0
+        for c in range(3):
+            d = jnp.maximum(jnp.maximum(tile_lo[c][None] - q[:, c:c + 1],
+                                        q[:, c:c + 1] - tile_hi[c][None]),
+                            0.0)
+            lb2 = lb2 + d * d
+        _, tsel = jax.lax.approx_min_k(lb2, probe, recall_target=0.99)
+        tsel = tsel.astype(jnp.int32)
+        # contiguous whole-tile gathers (rows of ``tile`` floats per
+        # coordinate), not per-point row gathers — the difference between
+        # ~50 and ~500 ms
+        d2 = 0.0
+        for c in range(3):
+            cpos = pos_tiles[c][tsel].reshape(qc, probe * tile)
+            d2 = d2 + jnp.square(q[:, c:c + 1] - cpos)
+        cidx = perm_tiles[tsel].reshape(qc, probe * tile)
+        Dk, sel = jax.lax.approx_min_k(d2, k, recall_target=0.99,
+                                       aggregate_to_topk=True)
+        Ik = jnp.take_along_axis(cidx, sel, axis=1)
+        return Dk, Ik
+
+    qs_ = query.reshape(num_q, q_chunk, 3)
+    D, I = jax.lax.map(one_chunk, qs_)
+    D = D.reshape(-1, k)[:Q]
+    I = I.reshape(-1, k)[:Q]
+    # far-sentinel rows (invalid points) surface as huge distances
+    inval = D >= BIG
+    return jnp.where(inval, BIG, D), jnp.where(inval, 0, I).astype(jnp.int32)
+
+
 # threshold below which the exact path is cheap enough to prefer
 _EXACT_MAX_N = 1 << 15
 

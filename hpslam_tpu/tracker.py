@@ -39,8 +39,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
                 pool, pool_len,
-                pos_mid, count_mid, geo_mid, col_mid,
-                pos_fine, count_fine, geo_fine, col_fine,
+                pos_mid, count_mid, geo_mid, col_mid, index_mid,
+                pos_fine, count_fine, geo_fine, col_fine, index_fine,
                 exposure_feat,
                 pixels: int, iters_mid: int, iters_fine: int,
                 W: int, fx: float, fy: float, cx: float, cy: float,
@@ -140,7 +140,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             return (op, ostate, best_loss, best_cam), loss
         return step
 
-    def stage_knn(inputs, level_arrays, cam, n_surface):
+    def stage_knn(inputs, tile_index, cam, n_surface):
         """Single neighbour search at the stage's starting pose; iterations
         reuse the indices (see render_rays knn_cache)."""
         i, j, d_gt, _c, _rq = inputs
@@ -151,16 +151,15 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                                 rcfg.near_end_surface, rcfg.far_end_surface,
                                 rcfg.fix_interval)
         p = (rays_o[:, None] + rays_d[:, None] * z[..., None]).reshape(-1, 3)
-        pos, count, _g, _c2 = level_arrays
         from .ops import knn as Knn
-        return Knn.knn_auto(p, pos, count, k=rcfg.nn_num)
+        return Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num)
 
     ostate = Opt.init(opt_params)
     carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
     k_mid, k_fine = jax.random.split(key)
 
     inputs_mid = stage_inputs(k_mid, r_query_mid)
-    cache_mid = stage_knn(inputs_mid, mid_arrays, cam_init, rcfg.N_surface)
+    cache_mid = stage_knn(inputs_mid, index_mid, cam_init, rcfg.N_surface)
     carry, losses_mid = jax.lax.scan(
         make_step("color_mid", mid_arrays, inputs_mid, cache_mid), carry,
         None, length=iters_mid)
@@ -168,7 +167,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     cam_mid = (jnp.concatenate([carry[0]["quad"], carry[0]["T"]])
                if separate_lr else carry[0]["cam"])
     inputs_fine = stage_inputs(k_fine, r_query_fine)
-    cache_fine = stage_knn(inputs_fine, fine_arrays, cam_mid, rcfg.N_surface)
+    cache_fine = stage_knn(inputs_fine, index_fine, cam_mid, rcfg.N_surface)
     carry, losses_fine = jax.lax.scan(
         make_step("color_fine", fine_arrays, inputs_fine, cache_fine), carry,
         None, length=iters_fine)
@@ -259,11 +258,13 @@ class Tracker:
         best_cam, best_loss, first_loss, last_loss, op = track_frame(
             params, slam.mcfg, self.rcfg,
             jnp.asarray(cam_init, jnp.float32), key,
-            jnp.asarray(frame.color), jnp.asarray(frame.depth),
+            frame.color_j, frame.depth_j,
             jnp.asarray(r_query["mid"]), jnp.asarray(r_query["fine"]),
             jnp.asarray(pool_padded), jnp.int32(max(pool.shape[0], 1)),
             lv_mid.pos, lv_mid.count, lv_mid.geo, lv_mid.col,
+            npc.index("mid"),
             lv_fine.pos, lv_fine.count, lv_fine.geo, lv_fine.col,
+            npc.index("fine"),
             jnp.asarray(exposure_feat),
             pixels=self.pixels, iters_mid=iters_mid, iters_fine=iters_fine,
             W=W, fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,

@@ -34,7 +34,7 @@ from ..ops.geometry import as_intrinsics_matrix
 
 
 class Frame:
-    __slots__ = ("index", "color", "depth", "c2w")
+    __slots__ = ("index", "color", "depth", "c2w", "_color_j", "_depth_j")
 
     def __init__(self, index: int, color: np.ndarray, depth: np.ndarray,
                  c2w: np.ndarray):
@@ -42,6 +42,25 @@ class Frame:
         self.color = color  # (H, W, 3) float32 RGB in [0,1]
         self.depth = depth  # (H, W) float32 metres
         self.c2w = c2w      # (4, 4) float32
+        self._color_j = None
+        self._depth_j = None
+
+    # lazy device twins: the tracker, mapper, and visualizer all consume the
+    # same frame — upload it once (host->device transfers through the
+    # tunnelled TPU runtime are seconds per 100 MB)
+    @property
+    def color_j(self):
+        if self._color_j is None:
+            import jax.numpy as jnp
+            self._color_j = jnp.asarray(self.color)
+        return self._color_j
+
+    @property
+    def depth_j(self):
+        if self._depth_j is None:
+            import jax.numpy as jnp
+            self._depth_j = jnp.asarray(self.depth)
+        return self._depth_j
 
 
 def _flip_yz(c2w: np.ndarray) -> np.ndarray:

@@ -44,9 +44,10 @@ class Logger:
         kf_dict = []
         for kf in keyframe_dict:
             entry = {k: v for k, v in kf.items()
-                     if self.save_keyframe_images
-                     or k not in ("color", "depth", "r_query_mid",
-                                  "r_query_fine")}
+                     if not k.endswith("_j")  # device twins stay on device
+                     and (self.save_keyframe_images
+                          or k not in ("color", "depth", "r_query_mid",
+                                       "r_query_fine"))}
             kf_dict.append(entry)
         state = {
             "levels": levels,

@@ -6,6 +6,7 @@ import numpy as np
 from hpslam_tpu import renderer as R
 from hpslam_tpu.models import decoder as Dec
 from hpslam_tpu.ops import optim as Opt
+from hpslam_tpu.ops import knn as KK
 from hpslam_tpu.mapper import (map_scan, build_schedule, bucket_iters,
                                build_pixel_knn_cache)
 from hpslam_tpu.tracker import track_frame
@@ -92,7 +93,7 @@ def test_map_scan_reduces_loss(rng):
     ost = Opt.init(op)
     cache_pix, cacheD, cacheI = build_pixel_knn_cache(
         jax.random.PRNGKey(7), jnp.asarray(depths), jnp.asarray(c2ws),
-        jnp.asarray(pools), jnp.asarray(pool_lens), pos, count,
+        jnp.asarray(pools), jnp.asarray(pool_lens), KK.build_tiles(pos, count),
         P=256, S=5, k=8, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
         near_surface=0.96, far_surface=1.04)
     op, ost, losses = map_scan(
@@ -190,7 +191,8 @@ def test_track_frame_improves_pose(rng):
         jnp.asarray(color_img), jnp.asarray(gt_depth_img),
         jnp.asarray(rqm), jnp.asarray(rqm),
         jnp.asarray(pool), jnp.int32(pool.size),
-        pos, count, geo_f, col_f, pos, count, geo_f, col_f,
+        pos, count, geo_f, col_f, KK.build_tiles(pos, count),
+        pos, count, geo_f, col_f, KK.build_tiles(pos, count),
         jnp.zeros(8),
         pixels=200, iters_mid=15, iters_fine=15, W=W,
         fx=fx, fy=fy, cx=cx, cy=cy, cam_lr=0.01, separate_lr=False,
@@ -309,7 +311,7 @@ def test_map_scan_ba_updates_poses(rng):
     ost = Opt.init(op)
     cache_pix, cacheD, cacheI = build_pixel_knn_cache(
         jax.random.PRNGKey(7), jnp.asarray(depths), jnp.asarray(c2ws),
-        jnp.asarray(pools), jnp.asarray(pool_lens), pos, count,
+        jnp.asarray(pools), jnp.asarray(pool_lens), KK.build_tiles(pos, count),
         P=128, S=5, k=8, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
         near_surface=0.96, far_surface=1.04)
     op, ost, losses = map_scan(

@@ -101,3 +101,49 @@ def test_knn_segmin_masks_inactive(rng):
     q = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
     D, I = knn_segmin(jnp.asarray(q), jnp.asarray(pts), jnp.int32(100), k=8)
     assert int(np.asarray(I).max()) < 100
+
+
+def test_knn_tiles_recall(rng):
+    # surface-like cloud (points on walls of a box) + near-surface queries —
+    # the actual SLAM distribution
+    N_cap, count, Q, k = 1 << 14, 12000, 2000, 8
+    w = rng.integers(0, 3, count)
+    u = rng.uniform(-2, 2, (count, 3)).astype(np.float32)
+    pts = np.zeros((N_cap, 3), np.float32)
+    pts[:count] = u
+    pts[np.arange(count), w] = np.sign(u[np.arange(count), w]) * 2.0
+    pts[count:] = 777.0
+    qi = rng.integers(0, count, Q)
+    q = pts[qi] + rng.normal(0, 0.05, (Q, 3)).astype(np.float32)
+
+    idx = K.build_tiles(jnp.asarray(pts), jnp.int32(count), tile=128)
+    D, I = K.knn_tiles(jnp.asarray(q), *idx, k=k, tile=128, probe=16)
+    D, I = np.asarray(D), np.asarray(I)
+
+    tree = cKDTree(pts[:count])
+    d_ref, i_ref = tree.query(q, k=k)
+    recall = np.mean(np.isclose(np.sqrt(D), d_ref, atol=1e-4))
+    assert recall >= 0.99, f"tile-index recall {recall}"
+    assert I.max() < count
+    # 1-NN (the insertion zero-neighbour test) must be essentially exact
+    recall1 = np.mean(np.isclose(np.sqrt(D[:, 0]), d_ref[:, 0], atol=1e-4))
+    assert recall1 >= 0.999
+
+
+def test_knn_tiles_masks_inactive(rng):
+    pts = np.full((512, 3), 500.0, np.float32)
+    pts[:5] = rng.uniform(-1, 1, (5, 3)).astype(np.float32)
+    idx = K.build_tiles(jnp.asarray(pts), jnp.int32(5), tile=128)
+    D, I = K.knn_tiles(jnp.asarray(pts[:3]), *idx, k=8, tile=128, probe=2)
+    D, I = np.asarray(D), np.asarray(I)
+    assert np.all(I.ravel() < 5)
+    assert np.all(D[:, 5:] >= K.BIG)
+    assert np.allclose(D[:, 0], 0.0, atol=1e-5)
+
+
+def test_knn_tiles_empty_cloud():
+    pts = np.zeros((256, 3), np.float32)
+    idx = K.build_tiles(jnp.asarray(pts), jnp.int32(0), tile=128)
+    D, I = K.knn_tiles(jnp.ones((4, 3)), *idx, k=8, tile=128, probe=2)
+    assert np.all(np.asarray(D) >= K.BIG)
+    assert np.all(np.asarray(I) == 0)
