@@ -174,9 +174,14 @@ def compact_scene(cacheI, pos, geo, col, U: int):
     return uniq, remap, pos[safe], geo[safe], col[safe]
 
 
-def unique_bucket(n: int, cap: int, lo: int = 1 << 13) -> int:
-    """Next power-of-two >= n (few XLA program shapes across frames)."""
-    u = lo
+def unique_bucket(n: int, cap: int) -> int:
+    """Compact-table size bucket: coarse ladder (few XLA program shapes as
+    the cloud grows) with an explicit 262144 step — the largest table that
+    still takes the fast scatter path (see ops/interpolate)."""
+    for u in (8192, 32768, 131072, 262144):
+        if n <= u:
+            return min(u, cap)
+    u = 524288
     while u < n:
         u <<= 1
     return min(u, cap)

@@ -58,6 +58,10 @@ def _load():
     lib.icp_point_to_plane.argtypes = [
         f32p, ctypes.c_int64, f32p, f32p, ctypes.c_int64, ctypes.c_float,
         ctypes.c_int, f32p, f32p, f32p]
+    lib.fpfh_ransac_register.restype = ctypes.c_float
+    lib.fpfh_ransac_register.argtypes = [
+        f32p, ctypes.c_int64, f32p, f32p, ctypes.c_int64, f32p,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_uint64, f32p]
     lib.bvh_build.restype = ctypes.c_int64
     lib.bvh_build.argtypes = [f32p, ctypes.c_int64, i32p, ctypes.c_int64]
     lib.bvh_destroy.argtypes = [ctypes.c_int64]
@@ -213,3 +217,23 @@ def icp_point_to_plane(src: np.ndarray, tgt: np.ndarray,
         ctypes.c_float(max_corr_dist), max_iter, _fp(T0), _fp(Tout),
         ctypes.byref(rmse))
     return Tout, float(fit), float(rmse.value)
+
+
+def fpfh_ransac_register(src: np.ndarray, src_normals: np.ndarray,
+                         tgt: np.ndarray, tgt_normals: np.ndarray,
+                         feature_radius: float, max_corr_dist: float,
+                         max_iter: int = 100_000, seed: int = 1219):
+    """FPFH + RANSAC global registration (Open3D
+    registration_ransac_based_on_feature_matching role, reference
+    src/common.py:558-577).  Returns (T 4x4, fitness)."""
+    lib = _load()
+    src = _f32(src)
+    tgt = _f32(tgt)
+    sn = _f32(src_normals)
+    tn = _f32(tgt_normals)
+    Tout = np.empty((4, 4), np.float32)
+    fit = lib.fpfh_ransac_register(
+        _fp(src), src.shape[0], _fp(sn), _fp(tgt), tgt.shape[0], _fp(tn),
+        ctypes.c_float(feature_radius), ctypes.c_float(max_corr_dist),
+        max_iter, ctypes.c_uint64(seed), _fp(Tout))
+    return Tout, float(fit)

@@ -208,8 +208,12 @@ class PointSLAM:
         n = self.n_img
         track_times, map_times = [], []
 
-        for idx in range(n):
-            frame = reader[idx]
+        # background-thread decode overlapping device compute
+        # (DataLoader(num_workers=1) role, Tracker.py:95-96)
+        from .utils.datasets import Prefetcher
+        prefetcher = Prefetcher(reader)
+
+        for idx, frame in enumerate(prefetcher):
             self.gt_c2w_list[idx] = frame.c2w
 
             # ---- tracking (frames 0-1 copy GT, Tracker.py:366-367)

@@ -2,12 +2,12 @@
 
 The reference registers the trajectory-tail input cloud against the earlier
 map with Open3D FPFH+RANSAC global registration followed by point-to-plane
-ICP, then applies an exponentially decayed translation correction to the
-last 800 poses.  Here the registration runs on the first-party native ICP
-(multi-start point-to-plane from small perturbations replaces the RANSAC
-global stage — the tail is already near-aligned by SLAM, so a local
-basin search suffices), with the same acceptance gate (fitness > 0.5) and
-the same decay schedule.
+ICP (common.py:534-593), then applies an exponentially decayed translation
+correction to the last 800 poses.  Same two-stage flow here on the
+first-party native library: FPFH + RANSAC (native fpfh_ransac_register)
+provides the global initialisation — covering the large-drift case this
+tool exists for — and point-to-plane ICP refines it, with the same
+acceptance gate (fitness > 0.5) and the same decay schedule.
 """
 from __future__ import annotations
 
@@ -26,7 +26,8 @@ def register_tail(cloud: np.ndarray, cam_pos: np.ndarray,
 
     Returns (T 4x4, fitness) or (None, 0).
     """
-    from ..native import estimate_normals, icp_point_to_plane
+    from ..native import (estimate_normals, fpfh_ransac_register,
+                          icp_point_to_plane)
 
     n = cloud.shape[0]
     if n <= 50_000:
@@ -39,17 +40,21 @@ def register_tail(cloud: np.ndarray, cam_pos: np.ndarray,
         source = voxel_downsample(cloud[int(n * coef):], voxel_size)
         if source.shape[0] < 100:
             continue
-        # multi-start local search (replaces FPFH+RANSAC global stage)
-        inits = [np.eye(4)]
-        for dt in ([0.05, 0, 0], [-0.05, 0, 0], [0, 0.05, 0], [0, -0.05, 0],
-                   [0, 0, 0.05], [0, 0, -0.05]):
-            T0 = np.eye(4)
-            T0[:3, 3] = dt
-            inits.append(T0)
+        # global stage: FPFH + RANSAC (common.py:558-577; o3d recipe uses
+        # feature radius 5*voxel and RANSAC distance 1.5*voxel)
+        src_normals = estimate_normals(source, k=30,
+                                       viewpoint=cam_pos.astype(np.float32))
+        T_global, fit_global = fpfh_ransac_register(
+            source, src_normals, target, normals,
+            feature_radius=5.0 * voxel_size,
+            max_corr_dist=1.5 * voxel_size)
+        inits = [np.eye(4, dtype=np.float32)]
+        if fit_global > 0.3:
+            inits.insert(0, T_global)
         for T0 in inits:
             T, fit, rmse = icp_point_to_plane(
                 source, target, normals, max_corr_dist=voxel_size,
-                max_iter=500, init=T0.astype(np.float32))
+                max_iter=500, init=np.asarray(T0, np.float32))
             if fit > best_fit or (fit == best_fit and rmse < best_rmse):
                 best_T, best_fit, best_rmse = T, fit, rmse
     return best_T, best_fit

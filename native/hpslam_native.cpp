@@ -843,3 +843,260 @@ float icp_point_to_plane(const float* src, int64_t ns, const float* tgt,
 }
 
 }  // extern "C"
+
+// ----------------------------------------------- FPFH + RANSAC registration
+// First-party replacement for Open3D's compute_fpfh_feature +
+// registration_ransac_based_on_feature_matching (reference
+// src/common.py:534-593, used by the Mapper's end-correction global stage,
+// src/Mapper.py:1080-1148).
+namespace {
+
+// Darboux-frame pair features (alpha, phi, theta) — PFH/FPFH standard.
+inline bool pair_features(const float* p1, const float* n1_, const float* p2,
+                          const float* n2_, float f[3]) {
+    double d[3] = {p2[0]-p1[0], p2[1]-p1[1], p2[2]-p1[2]};
+    double dist = std::sqrt(d[0]*d[0] + d[1]*d[1] + d[2]*d[2]);
+    if (dist < 1e-12) return false;
+    d[0] /= dist; d[1] /= dist; d[2] /= dist;
+    const float* ns_ = n1_;
+    const float* nt_ = n2_;
+    double a1 = n1_[0]*d[0] + n1_[1]*d[1] + n1_[2]*d[2];
+    double a2 = n2_[0]*d[0] + n2_[1]*d[1] + n2_[2]*d[2];
+    double sgn = 1.0;
+    if (std::fabs(a1) < std::fabs(a2)) {  // swap source/target roles
+        ns_ = n2_; nt_ = n1_;
+        d[0] = -d[0]; d[1] = -d[1]; d[2] = -d[2];
+    }
+    double u[3] = {ns_[0], ns_[1], ns_[2]};
+    double v[3] = {d[1]*u[2] - d[2]*u[1],
+                   d[2]*u[0] - d[0]*u[2],
+                   d[0]*u[1] - d[1]*u[0]};
+    double vn = std::sqrt(v[0]*v[0] + v[1]*v[1] + v[2]*v[2]);
+    if (vn < 1e-12) return false;
+    v[0] /= vn; v[1] /= vn; v[2] /= vn;
+    double w[3] = {u[1]*v[2] - u[2]*v[1],
+                   u[2]*v[0] - u[0]*v[2],
+                   u[0]*v[1] - u[1]*v[0]};
+    (void)sgn;
+    f[0] = (float)(v[0]*nt_[0] + v[1]*nt_[1] + v[2]*nt_[2]);        // alpha
+    f[1] = (float)(u[0]*d[0] + u[1]*d[1] + u[2]*d[2]);              // phi
+    f[2] = (float)std::atan2(w[0]*nt_[0] + w[1]*nt_[1] + w[2]*nt_[2],
+                             u[0]*nt_[0] + u[1]*nt_[1] + u[2]*nt_[2]);
+    return true;
+}
+
+// 33-bin FPFH (3 x 11) over radius-bounded neighbourhoods.
+void compute_fpfh(const float* pts, const float* normals, int64_t n,
+                  float radius, int max_nn, std::vector<float>& fpfh) {
+    KDTree tree;
+    tree.build(pts, (int)n);
+    const float r2 = radius * radius;
+    std::vector<float> spfh(n * 33, 0.0f);
+    std::vector<std::vector<std::pair<float,int>>> nbrs(n);
+    std::vector<std::pair<float,int>> heap;
+    const double PI = 3.14159265358979323846;
+    for (int64_t i = 0; i < n; ++i) {
+        heap.clear();
+        tree.knn_rec(0, pts + 3*i, max_nn, heap);
+        auto& keep = nbrs[i];
+        for (auto& pr : heap)
+            if (pr.first <= r2 && pr.second != (int)i) keep.push_back(pr);
+        if (keep.empty()) continue;
+        float inc = 100.0f / (float)keep.size();
+        for (auto& pr : keep) {
+            float f[3];
+            if (!pair_features(pts + 3*i, normals + 3*i,
+                               pts + 3*pr.second, normals + 3*pr.second, f))
+                continue;
+            int b0 = (int)std::floor(11.0 * (f[0] + 1.0) / 2.0);
+            int b1 = (int)std::floor(11.0 * (f[1] + 1.0) / 2.0);
+            int b2 = (int)std::floor(11.0 * (f[2] + PI) / (2.0 * PI));
+            b0 = std::min(std::max(b0, 0), 10);
+            b1 = std::min(std::max(b1, 0), 10);
+            b2 = std::min(std::max(b2, 0), 10);
+            spfh[33*i + b0] += inc;
+            spfh[33*i + 11 + b1] += inc;
+            spfh[33*i + 22 + b2] += inc;
+        }
+    }
+    fpfh.assign(n * 33, 0.0f);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int b = 0; b < 33; ++b) fpfh[33*i + b] = spfh[33*i + b];
+        auto& keep = nbrs[i];
+        if (keep.empty()) continue;
+        for (auto& pr : keep) {
+            float wgt = 1.0f / std::max(pr.first, 1e-8f);  // 1/d^2 (o3d)
+            for (int b = 0; b < 33; ++b)
+                fpfh[33*i + b] += wgt * spfh[33*pr.second + b] /
+                                  (float)keep.size();
+        }
+    }
+}
+
+// Kabsch: least-squares R,t from paired points (row-major 4x4 out).
+bool kabsch(const double* P, const double* Q, int m, double T[16]) {
+    double cp[3] = {0,0,0}, cq[3] = {0,0,0};
+    for (int i = 0; i < m; ++i)
+        for (int a = 0; a < 3; ++a) { cp[a] += P[3*i+a]; cq[a] += Q[3*i+a]; }
+    for (int a = 0; a < 3; ++a) { cp[a] /= m; cq[a] /= m; }
+    double H[9] = {0};
+    for (int i = 0; i < m; ++i)
+        for (int a = 0; a < 3; ++a)
+            for (int b = 0; b < 3; ++b)
+                H[3*a+b] += (P[3*i+a]-cp[a]) * (Q[3*i+b]-cq[b]);
+    // Horn's quaternion method: largest eigenvector of the 4x4 N matrix
+    double Sxx=H[0], Sxy=H[1], Sxz=H[2], Syx=H[3], Syy=H[4], Syz=H[5],
+           Szx=H[6], Szy=H[7], Szz=H[8];
+    double N[16] = {
+        Sxx+Syy+Szz, Syz-Szy,     Szx-Sxz,     Sxy-Syx,
+        Syz-Szy,     Sxx-Syy-Szz, Sxy+Syx,     Szx+Sxz,
+        Szx-Sxz,     Sxy+Syx,     -Sxx+Syy-Szz,Syz+Szy,
+        Sxy-Syx,     Szx+Sxz,     Syz+Szy,     -Sxx-Syy+Szz};
+    // shift to make it PSD-ish, then power iteration
+    double shift = 0;
+    for (int i = 0; i < 4; ++i) {
+        double row = 0;
+        for (int j = 0; j < 4; ++j) row += std::fabs(N[4*i+j]);
+        shift = std::max(shift, row);
+    }
+    for (int i = 0; i < 4; ++i) N[4*i+i] += shift;
+    double q[4] = {1, 0.01, 0.02, 0.03};
+    for (int it = 0; it < 64; ++it) {
+        double w[4] = {0,0,0,0};
+        for (int a = 0; a < 4; ++a)
+            for (int b = 0; b < 4; ++b) w[a] += N[4*a+b] * q[b];
+        double nn = std::sqrt(w[0]*w[0]+w[1]*w[1]+w[2]*w[2]+w[3]*w[3]);
+        if (nn < 1e-20) return false;
+        for (int a = 0; a < 4; ++a) q[a] = w[a] / nn;
+    }
+    double qw=q[0], qx=q[1], qy=q[2], qz=q[3];
+    double R[9] = {
+        1-2*(qy*qy+qz*qz), 2*(qx*qy-qw*qz),   2*(qx*qz+qw*qy),
+        2*(qx*qy+qw*qz),   1-2*(qx*qx+qz*qz), 2*(qy*qz-qw*qx),
+        2*(qx*qz-qw*qy),   2*(qy*qz+qw*qx),   1-2*(qx*qx+qy*qy)};
+    for (int a = 0; a < 3; ++a) {
+        for (int b = 0; b < 3; ++b) T[4*a+b] = R[3*a+b];
+        T[4*a+3] = cq[a] - (R[3*a]*cp[0] + R[3*a+1]*cp[1] + R[3*a+2]*cp[2]);
+    }
+    T[12] = T[13] = T[14] = 0; T[15] = 1;
+    return true;
+}
+
+struct XorShift {
+    uint64_t s;
+    explicit XorShift(uint64_t seed) : s(seed ? seed : 0x9E3779B97F4A7C15ULL) {}
+    uint64_t next() {
+        s ^= s << 13; s ^= s >> 7; s ^= s << 17; return s;
+    }
+    int uniform(int n) { return (int)(next() % (uint64_t)n); }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Global registration: FPFH feature matching + RANSAC (4-point samples,
+// edge-length pruning, Kabsch), validated by nearest-neighbour inlier
+// fraction on a source subsample.  Returns fitness; writes row-major 4x4.
+float fpfh_ransac_register(const float* src, int64_t ns,
+                           const float* src_normals,
+                           const float* tgt, int64_t nt,
+                           const float* tgt_normals,
+                           float feature_radius, float max_corr_dist,
+                           int max_iter, uint64_t seed, float* out_T) {
+    for (int i = 0; i < 16; ++i) out_T[i] = (i % 5 == 0) ? 1.0f : 0.0f;
+    if (ns < 8 || nt < 8) return 0.0f;
+
+    std::vector<float> fs, ft;
+    compute_fpfh(src, src_normals, ns, feature_radius, 100, fs);
+    compute_fpfh(tgt, tgt_normals, nt, feature_radius, 100, ft);
+
+    // best-match correspondences src -> tgt in 33-d feature space
+    std::vector<int> corr(ns);
+    for (int64_t i = 0; i < ns; ++i) {
+        float best = 1e30f; int bj = 0;
+        const float* fi = &fs[33*i];
+        for (int64_t j = 0; j < nt; ++j) {
+            const float* fj = &ft[33*j];
+            float dsum = 0;
+            for (int b = 0; b < 33; ++b) {
+                float df = fi[b] - fj[b];
+                dsum += df * df;
+                if (dsum > best) break;
+            }
+            if (dsum < best) { best = dsum; bj = (int)j; }
+        }
+        corr[i] = bj;
+    }
+
+    KDTree ttree;
+    ttree.build(tgt, (int)nt);
+    // validation subsample
+    int nv = (int)std::min<int64_t>(ns, 1000);
+    std::vector<int> vids(nv);
+    for (int i = 0; i < nv; ++i) vids[i] = (int)((int64_t)i * ns / nv);
+
+    XorShift rng(seed);
+    const int M = 4;
+    double bestT[16]; float best_fit = 0.0f;
+    for (int i = 0; i < 16; ++i) bestT[i] = (i % 5 == 0) ? 1.0 : 0.0;
+    const float edge_sim = 0.9f;
+    const float c2 = max_corr_dist * max_corr_dist;
+
+    for (int it = 0; it < max_iter; ++it) {
+        int ids[M];
+        bool dup = false;
+        for (int a = 0; a < M; ++a) {
+            ids[a] = rng.uniform((int)ns);
+            for (int b = 0; b < a; ++b) dup |= (ids[a] == ids[b]);
+        }
+        if (dup) continue;
+        // edge-length similarity pruning (o3d CorrespondenceCheckerBasedOnEdgeLength)
+        bool ok = true;
+        for (int a = 0; a < M && ok; ++a)
+            for (int b = a + 1; b < M && ok; ++b) {
+                const float* pa = src + 3*ids[a];
+                const float* pb = src + 3*ids[b];
+                const float* qa = tgt + 3*corr[ids[a]];
+                const float* qb = tgt + 3*corr[ids[b]];
+                float ds = std::sqrt((pa[0]-pb[0])*(pa[0]-pb[0])
+                         + (pa[1]-pb[1])*(pa[1]-pb[1])
+                         + (pa[2]-pb[2])*(pa[2]-pb[2]));
+                float dt = std::sqrt((qa[0]-qb[0])*(qa[0]-qb[0])
+                         + (qa[1]-qb[1])*(qa[1]-qb[1])
+                         + (qa[2]-qb[2])*(qa[2]-qb[2]));
+                if (ds < edge_sim * dt || dt < edge_sim * ds) ok = false;
+            }
+        if (!ok) continue;
+        double P[3*M], Q[3*M];
+        for (int a = 0; a < M; ++a)
+            for (int c = 0; c < 3; ++c) {
+                P[3*a+c] = src[3*ids[a]+c];
+                Q[3*a+c] = tgt[3*corr[ids[a]]+c];
+            }
+        double T[16];
+        if (!kabsch(P, Q, M, T)) continue;
+        // validate on the subsample
+        int inl = 0;
+        for (int a = 0; a < nv; ++a) {
+            const float* p0 = src + 3*vids[a];
+            float p[3] = {
+                (float)(T[0]*p0[0] + T[1]*p0[1] + T[2]*p0[2] + T[3]),
+                (float)(T[4]*p0[0] + T[5]*p0[1] + T[6]*p0[2] + T[7]),
+                (float)(T[8]*p0[0] + T[9]*p0[1] + T[10]*p0[2] + T[11])};
+            float d2;
+            ttree.nearest(p, &d2);
+            if (d2 <= c2) inl++;
+        }
+        float fit = (float)inl / (float)nv;
+        if (fit > best_fit) {
+            best_fit = fit;
+            for (int i2 = 0; i2 < 16; ++i2) bestT[i2] = T[i2];
+            if (best_fit > 0.97f) break;
+        }
+    }
+    for (int i = 0; i < 16; ++i) out_T[i] = (float)bestT[i];
+    return best_fit;
+}
+
+}  // extern "C"

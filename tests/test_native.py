@@ -80,3 +80,48 @@ def test_icp_recovers_transform(rng):
     aligned = src @ T[:3, :3].T + T[:3, 3]
     d = np.linalg.norm(aligned - tgt, axis=1)
     assert np.median(d) < 5e-3
+
+
+def test_fpfh_ransac_global_registration(rng):
+    """Large-offset registration the local ICP basin cannot reach — the
+    case end-correction's global stage exists for (common.py:558-577)."""
+    from hpslam_tpu.native import (estimate_normals, fpfh_ransac_register,
+                                   icp_point_to_plane)
+    # structured scene: three walls of a room with bumps (FPFH needs
+    # geometry variation)
+    n = 4000
+    t = rng.uniform(-1.5, 1.5, (n, 2)).astype(np.float32)
+    w = rng.integers(0, 3, n)
+    pts = np.zeros((n, 3), np.float32)
+    bump = 0.15 * np.sin(3.0 * t[:, 0]) * np.cos(2.0 * t[:, 1])
+    pts[w == 0] = np.stack([t[w == 0, 0], t[w == 0, 1],
+                            -1.5 + bump[w == 0]], -1)
+    pts[w == 1] = np.stack([t[w == 1, 0], -1.5 + bump[w == 1],
+                            t[w == 1, 1]], -1)
+    pts[w == 2] = np.stack([-1.5 + bump[w == 2], t[w == 2, 0],
+                            t[w == 2, 1]], -1)
+
+    # ground-truth offset: 40 cm translation + 10 deg yaw (far beyond the
+    # ICP basin at 4 cm correspondence distance)
+    ang = np.deg2rad(10.0)
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    t_gt = np.array([0.4, -0.25, 0.1], np.float32)
+    src = (pts @ R.T + t_gt + rng.normal(0, 0.004, (n, 3))).astype(np.float32)
+
+    vp = np.array([0.0, 0.0, 0.0], np.float32)
+    tgt_n = estimate_normals(pts, k=20, viewpoint=vp)
+    src_n = estimate_normals(src, k=20, viewpoint=vp)
+    T, fit = fpfh_ransac_register(src, src_n, pts, tgt_n,
+                                  feature_radius=0.25, max_corr_dist=0.07,
+                                  max_iter=60_000)
+    assert fit > 0.5, f"global registration failed (fitness {fit})"
+    T2, fit2, rmse = icp_point_to_plane(src, pts, tgt_n, max_corr_dist=0.05,
+                                        max_iter=100, init=T)
+    # recovered transform must invert the ground-truth offset
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t_gt
+    err = T2 @ T_gt
+    assert np.abs(err[:3, 3]).max() < 0.03, f"translation error {err[:3, 3]}"
+    assert np.abs(err[:3, :3] - np.eye(3)).max() < 0.03
