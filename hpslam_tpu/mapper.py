@@ -813,11 +813,16 @@ class Mapper:
         self.prev_c2w = updated_c2w if updated_c2w is not None else c2w
         loss_np = (np.concatenate(losses_all, axis=0) if losses_all
                    else np.zeros((1, 2)))
+        step = max(1, loss_np.shape[0] // 120)
         info = {
             "frame_pts_add": frame_pts_add,
             "n_joint_iters": int(n_joint),
             "geo_loss_last": float(loss_np[-1, 0]),
             "color_loss_last": float(loss_np[-1, 1]),
+            # per-iteration curves (wandb-role observability,
+            # Mapper.py:877-897 logs these per iteration)
+            "geo_loss_curve": loss_np[::step, 0].round(3).tolist(),
+            "color_loss_curve": loss_np[::step, 1].round(3).tolist(),
             "window": window,
             "r_query": r_query,
             "updated_c2w": updated_c2w,

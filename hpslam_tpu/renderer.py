@@ -10,7 +10,14 @@ scan/vmap.
 Sample layout: every ray gets exactly ``N_surface`` depth-guided samples in
 ``[near_end_surface*d, far_end_surface*d]`` (Renderer.py:163-189;
 N_samples=0 in every shipped config so there is no uniform-ray branch).
-Zero-depth rays (full-image rendering only) take a static fallback mode.
+
+Zero-depth rays occur only in full-image rendering, where the caller
+supplies point-cloud-guided z-values via ``sample_near_pcl_z``
+(utils/visualizer.py).  This matches the reference exactly: its
+tracking/mapping pixel samplers run with ``depth_filter=True``
+(src/Tracker.py:164-168, src/Mapper.py:718-720 — zero-depth pixels never
+reach the optimizers), so ``npc.sample_near_pcl`` only ever fires inside
+``render_img`` (src/utils/Renderer.py:196-208).
 """
 from __future__ import annotations
 

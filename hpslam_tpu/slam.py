@@ -3,12 +3,19 @@
 Reference: src/Point_SLAM.py (two mp.Process workers + a Manager process
 sharing tensors and an RPC'd point cloud, Point_SLAM.py:158-192, 297-319).
 TPU re-design (SURVEY.md §7 delta 1 and P1-P4): the tracker and mapper are
-jitted steps interleaved deterministically by one host loop.  This exactly
-realises the reference's default ``sync_method: strict`` schedule (tracker
-waits for the map of frame idx-1 at window starts; mapper maps every
-``every_frame``-th tracked frame); 'loose'/'free' relax ordering only across
-processes, so in a single-program design they coincide with strict and are
-accepted as aliases.
+jitted steps interleaved deterministically by one host loop.
+
+sync_method (deterministic realisations of the reference's polling
+protocol, Tracker.py:342-354 / Mapper.py:1001-1016):
+  * strict — mapper maps frame m (m %% every_frame == 0) before the tracker
+    advances past m: exactly the reference's strict schedule.
+  * loose — the reference lets the map lag the tracker by up to
+    every_frame + every_frame//2 frames; here mapping of frame m is
+    deferred until the tracker reaches m + every_frame, so tracking runs
+    on a map that is one mapping period stale (the centre of the
+    reference's allowed lag window).
+  * free — no rate coupling in the reference; realised as a lag of
+    2 * every_frame (the reference's loose upper bound rounded up).
 
 State plane: shared tensors/Manager RPC (P2/P3) become plain members — pose
 lists (numpy), decoder params + point levels (device pytrees).
@@ -80,11 +87,18 @@ class PointSLAM:
         self.save_rendered_image = cfg["mapping"].get("save_rendered_image",
                                                       False)
         self.every_frame = cfg["mapping"]["every_frame"]
+        sync = cfg.get("sync_method", "strict")
+        self._map_lag = {"strict": 0, "loose": self.every_frame,
+                         "free": 2 * self.every_frame}.get(sync, 0)
+        self._pending_maps: list = []
+        self._frame_buf: dict = {}
         self.ckpt_freq = cfg["mapping"]["ckpt_freq"]
         self.keyframe_every = cfg["mapping"]["keyframe_every"]
         self.end_correction = cfg["mapping"]["end_correction"]
         self.metrics_path = os.path.join(self.output, "metrics.jsonl")
         self._metrics_f = None
+        from .utils.telemetry import Telemetry
+        self.telemetry = Telemetry(cfg, self.output)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -149,6 +163,7 @@ class PointSLAM:
             self._metrics_f = open(self.metrics_path, "a")
         self._metrics_f.write(json.dumps(record) + "\n")
         self._metrics_f.flush()
+        self.telemetry.log(record, step=record.get("idx"))
 
     # ------------------------------------------------------------------
     def _map_frame(self, idx: int, frame, c2w: np.ndarray,
@@ -170,6 +185,8 @@ class PointSLAM:
                            "pts": self.npc.pts_num(),
                            "geo_loss": info["geo_loss_last"],
                            "color_loss": info["color_loss_last"],
+                           "geo_loss_curve": info["geo_loss_curve"],
+                           "color_loss_curve": info["color_loss_curve"],
                            "iters": info["n_joint_iters"]})
         no_first = self.cfg["mapping"]["no_vis_on_first_frame"] and idx == 0
         if not no_first:
@@ -240,6 +257,8 @@ class PointSLAM:
                 self._log_metrics({"event": "track", "idx": idx,
                                    "time_s": ttime,
                                    "loss": tinfo.get("loss_best"),
+                                   "loss_curve": tinfo.get("loss_curve"),
+                                   "quad_err": tinfo.get("cam_error_quad"),
                                    "pos_err": tinfo.get("cam_error_pos")})
                 if idx % self.cfg["tracking"]["vis_freq"] == 0:
                     self.tracker_vis.vis(
@@ -247,8 +266,21 @@ class PointSLAM:
                         c2w, self.npc, self.params, tinfo["r_query"],
                         self.exposure_feat)
 
-            # ---- mapping every Nth frame + final (strict schedule)
-            if idx % self.every_frame == 0 or idx == n - 1:
+            # ---- mapping every Nth frame + final; loose/free defer the
+            # map by a fixed tracker lag (see module docstring)
+            if idx % self.every_frame == 0:
+                self._pending_maps.append(idx)
+                self._frame_buf[idx] = frame
+            while self._pending_maps and (
+                    idx - self._pending_maps[0] >= self._map_lag
+                    or idx == n - 1):
+                m = self._pending_maps.pop(0)
+                mframe = self._frame_buf.pop(m)
+                t0 = time.perf_counter()
+                self._map_frame(m, mframe, self.estimate_c2w_list[m])
+                map_times.append(time.perf_counter() - t0)
+            if idx == n - 1 and idx % self.every_frame != 0:
+                # final frame always mapped (reference maps idx == n-1)
                 t0 = time.perf_counter()
                 self._map_frame(idx, frame, self.estimate_c2w_list[idx])
                 map_times.append(time.perf_counter() - t0)
@@ -299,4 +331,14 @@ class PointSLAM:
             "n_frames": n,
         }
         self._log_metrics({"event": "summary", **summary})
+        try:
+            from .utils.telemetry import summarize_run
+            plot = summarize_run(self.output)
+            if plot:
+                self.telemetry.log_image("run_summary", plot)
+                if self.verbose:
+                    print(f"Run summary plots: {plot}")
+        except Exception as e:  # noqa: BLE001
+            print(f"summary plots failed: {e}")
+        self.telemetry.finish()
         return results, summary

@@ -78,22 +78,23 @@ def main(argv=None):
     from hpslam_tpu.utils.logger import latest_checkpoint, load_checkpoint
     from hpslam_tpu.utils.ply import write_ply_mesh
 
-    p = argparse.ArgumentParser(description="TSDF-fusion meshing.")
-    p.add_argument("config", type=str)
-    p.add_argument("--input_folder", type=str, default=None)
-    p.add_argument("--output", type=str, default=None)
+    # same flag surface as run.py so meshing sees the identical cfg
+    # (reference duplicates the full flag set, get_mesh_tsdf_fusion.py:130-169)
+    p = C.build_arg_parser(description="TSDF-fusion meshing.")
+    p.add_argument("--name", type=str, default=None,
+                   help="suffix for the output mesh filename")
     p.add_argument("--no_render", action="store_true",
                    help="integrate GT depth instead of re-rendered depth")
     p.add_argument("--no_eval", action="store_true")
+    p.add_argument("-s", "--silent", action="store_true")
+    p.add_argument("--mid_mesh", action="store_true",
+                   help="also extract a mesh from the mid level")
     p.add_argument("--render_every", type=int, default=5)
     p.add_argument("--voxel_size", type=float, default=5.0 / 512)
     args = p.parse_args(argv)
 
     cfg = C.load_config(args.config, "configs/point_slam.yaml")
-    if args.output:
-        cfg["data"]["output"] = args.output
-    if args.input_folder:
-        cfg["data"]["input_folder"] = args.input_folder
+    cfg = C.apply_args(cfg, args)
     output = cfg["data"]["output"]
 
     ck = latest_checkpoint(output)
@@ -121,14 +122,27 @@ def main(argv=None):
 
     estimate = state["estimate_c2w_list"]
     n_img = int(state["idx"]) + 1
+    verbose = not args.silent
     verts, cols, faces = fuse_trajectory(
         slam, slam.params, slam.npc, slam.frame_reader, estimate, n_img,
         render_every=args.render_every, voxel_size=args.voxel_size,
-        use_gt_depth=args.no_render)
+        use_gt_depth=args.no_render, verbose=verbose)
     os.makedirs(os.path.join(output, "mesh"), exist_ok=True)
-    mesh_path = os.path.join(output, "mesh", "final_mesh.ply")
+    suffix = f"_{args.name}" if args.name else ""
+    mesh_path = os.path.join(output, "mesh", f"final_mesh{suffix}.ply")
     write_ply_mesh(mesh_path, verts, faces, cols)
-    print(f"wrote {mesh_path}: {verts.shape[0]} verts, {faces.shape[0]} faces")
+    if verbose:
+        print(f"wrote {mesh_path}: {verts.shape[0]} verts, "
+              f"{faces.shape[0]} faces")
+    if args.mid_mesh:
+        v2, c2, f2 = fuse_trajectory(
+            slam, slam.params, slam.npc, slam.frame_reader, estimate, n_img,
+            render_every=args.render_every, voxel_size=args.voxel_size,
+            use_gt_depth=args.no_render, level="mid", verbose=verbose)
+        mid_path = os.path.join(output, "mesh", f"mid_mesh{suffix}.ply")
+        write_ply_mesh(mid_path, v2, f2, c2)
+        if verbose:
+            print(f"wrote {mid_path}: {v2.shape[0]} verts")
 
     if not args.no_eval:
         gt_mesh = cfg.get("meshing", {}).get("gt_mesh_path")

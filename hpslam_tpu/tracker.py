@@ -34,7 +34,8 @@ from .renderer import RenderConfig, render_rays
     jax.jit,
     static_argnames=("mcfg", "rcfg", "pixels", "iters_mid", "iters_fine",
                      "W", "separate_lr", "use_exposure", "w_color",
-                     "use_color", "handle_dynamic", "fx", "fy", "cx", "cy"))
+                     "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
+                     "resample_stages"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -45,7 +46,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 pixels: int, iters_mid: int, iters_fine: int,
                 W: int, fx: float, fy: float, cx: float, cy: float,
                 cam_lr: float, separate_lr: bool, use_exposure: bool,
-                w_color: float, use_color: bool, handle_dynamic: bool):
+                w_color: float, use_color: bool, handle_dynamic: bool,
+                resample_stages: int = 1):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -158,22 +160,41 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
     k_mid, k_fine = jax.random.split(key)
 
-    inputs_mid = stage_inputs(k_mid, r_query_mid)
-    cache_mid = stage_knn(inputs_mid, index_mid, cam_init, rcfg.N_surface)
-    carry, losses_mid = jax.lax.scan(
-        make_step("color_mid", mid_arrays, inputs_mid, cache_mid), carry,
-        None, length=iters_mid)
+    def current_cam(c):
+        return (jnp.concatenate([c[0]["quad"], c[0]["T"]])
+                if separate_lr else c[0]["cam"])
 
-    cam_mid = (jnp.concatenate([carry[0]["quad"], carry[0]["T"]])
-               if separate_lr else carry[0]["cam"])
-    inputs_fine = stage_inputs(k_fine, r_query_fine)
-    cache_fine = stage_knn(inputs_fine, index_fine, cam_mid, rcfg.N_surface)
-    carry, losses_fine = jax.lax.scan(
-        make_step("color_fine", fine_arrays, inputs_fine, cache_fine), carry,
-        None, length=iters_fine)
+    def run_stage(carry, stage, level_arrays, tile_index, r_query_map, k,
+                  iters):
+        """One coarse/fine stage, split into ``resample_stages`` sub-chunks
+        with fresh pixel sets + neighbour searches each.  resample_stages=1
+        is the production default (one frozen set per stage); higher values
+        approximate the reference's per-iteration resampling
+        (Tracker.py:128-168) — kept as an ablation knob."""
+        losses = []
+        for s in range(resample_stages):
+            sub = iters // resample_stages + (
+                1 if s < iters % resample_stages else 0)
+            if sub == 0:
+                continue
+            inputs = stage_inputs(jax.random.fold_in(k, s), r_query_map)
+            cache = stage_knn(inputs, tile_index, current_cam(carry),
+                              rcfg.N_surface)
+            carry, ls = jax.lax.scan(
+                make_step(stage, level_arrays, inputs, cache), carry,
+                None, length=sub)
+            losses.append(ls)
+        return carry, (jnp.concatenate(losses) if losses
+                       else jnp.zeros((0,), jnp.float32))
+
+    carry, losses_mid = run_stage(carry, "color_mid", mid_arrays, index_mid,
+                                  r_query_mid, k_mid, iters_mid)
+    carry, losses_fine = run_stage(carry, "color_fine", fine_arrays,
+                                   index_fine, r_query_fine, k_fine,
+                                   iters_fine)
     op, _, best_loss, best_cam = carry
     losses = jnp.concatenate([losses_mid, losses_fine])
-    return best_cam, best_loss, losses[0], losses[-1], op
+    return best_cam, best_loss, losses, op
 
 
 class Tracker:
@@ -195,6 +216,7 @@ class Tracker:
         self.ignore_edge_W = t["ignore_edge_W"]
         self.ignore_edge_H = t["ignore_edge_H"]
         self.const_speed = t["const_speed_assumption"]
+        self.resample_stages = int(t.get("resample_stages", 1))
         self.gt_camera = t["gt_camera"]
         self.depth_limit = 5.0 if t["depth_limit"] else None
         self.ratio_iter_mid = 0.5  # Tracker.py:40
@@ -255,7 +277,7 @@ class Tracker:
         iters_mid = int(self.iters * self.ratio_iter_mid)
         iters_fine = self.iters - iters_mid
 
-        best_cam, best_loss, first_loss, last_loss, op = track_frame(
+        best_cam, best_loss, losses, op = track_frame(
             params, slam.mcfg, self.rcfg,
             jnp.asarray(cam_init, jnp.float32), key,
             frame.color_j, frame.depth_j,
@@ -270,17 +292,21 @@ class Tracker:
             W=W, fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
             cam_lr=self.cam_lr, separate_lr=self.separate_lr,
             use_exposure=self.use_exposure, w_color=self.w_color,
-            use_color=self.use_color, handle_dynamic=self.handle_dynamic)
+            use_color=self.use_color, handle_dynamic=self.handle_dynamic,
+            resample_stages=self.resample_stages)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)
-        best_cam, best_loss, first_loss = jax.device_get(
-            (best_cam, best_loss, first_loss))
+        best_cam, best_loss, losses = jax.device_get(
+            (best_cam, best_loss, losses))
         c2w = np.eye(4, dtype=np.float32)
         c2w[:3, :] = G.get_camera_from_tensor_np(best_cam)
         info = {
-            "loss_init": float(first_loss),
+            "loss_init": float(losses[0]),
             "loss_best": float(best_loss),
+            # per-iteration curve (wandb-role observability,
+            # Tracker.py:454-459 logs these per iteration)
+            "loss_curve": np.asarray(losses, np.float64).round(3).tolist(),
             "cam_error_quad": float(np.abs(gt_cam[:4] - best_cam[:4]).mean()),
             "cam_error_pos": float(np.abs(gt_cam[4:] - best_cam[4:]).mean()),
             "r_query": r_query,

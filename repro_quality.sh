@@ -1,0 +1,24 @@
+#!/bin/bash
+# One-command quality artifact: SLAM -> ATE -> TSDF mesh -> culled-GT
+# reconstruction metrics on the synthetic sequence (see QUALITY.md).
+set -e
+OUT=${1:-output/Synthetic/synth_quality}
+python run.py configs/Synthetic/synth_quality.yaml --output "$OUT"
+python -m hpslam_tpu.tools.get_mesh_tsdf_fusion \
+  configs/Synthetic/synth_quality.yaml --output "$OUT" \
+  --no_eval --voxel_size 0.02
+python -m hpslam_tpu.tools.make_synth_gt_mesh "$OUT/mesh/gt_mesh.ply" --res 60
+python -m hpslam_tpu.tools.cull_mesh configs/Synthetic/synth_quality.yaml \
+  "$OUT/mesh/gt_mesh.ply" --output "$OUT" \
+  --out_mesh "$OUT/mesh/gt_mesh_culled.ply"
+python - "$OUT" <<'EOF'
+import json, sys
+from hpslam_tpu.tools.eval_recon import eval_recon_3d
+out = sys.argv[1]
+res = eval_recon_3d(f"{out}/mesh/final_mesh.ply",
+                    f"{out}/mesh/gt_mesh_culled.ply")
+print(json.dumps(res, indent=1))
+with open(f"{out}/recon_metrics.json", "w") as f:
+    json.dump(res, f, indent=1)
+EOF
+echo "quality artifacts under $OUT"

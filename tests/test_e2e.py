@@ -76,3 +76,30 @@ def test_pointslam_run_tiny_synthetic(tmp_path):
     assert os.path.exists(os.path.join(out, "final_point_cloud.ply"))
     assert any(f.endswith(".ckpt")
                for f in os.listdir(os.path.join(out, "ckpts")))
+
+
+@pytest.mark.e2e
+def test_pointslam_run_loose_sync(tmp_path):
+    """loose sync defers mapping by one mapping period; the run must still
+    complete with every scheduled frame mapped (deterministic realisation
+    of Tracker.py:347-351)."""
+    from hpslam_tpu.slam import PointSLAM
+
+    cfg = tiny_cfg(tmp_path)
+    cfg["sync_method"] = "loose"
+    slam = PointSLAM(cfg)
+    mapped = []
+    orig = slam._map_frame
+
+    def spy(idx, frame, c2w, color_refine=False):
+        mapped.append(idx)
+        return orig(idx, frame, c2w, color_refine=color_refine)
+
+    slam._map_frame = spy
+    results, summary = slam.run()
+    assert results is not None
+    # frames 0 and 5 scheduled (every_frame=5, n=7); final frame mapped too
+    assert 0 in mapped and 5 in mapped and 6 in mapped
+    # frame 0's map must have been deferred past the tracker (lag 5):
+    # it lands only when idx reaches 5, i.e. after frame-5 tracking
+    assert slam._map_lag == 5

@@ -186,7 +186,7 @@ def test_track_frame_improves_pose(rng):
     pool = np.arange(H * W, dtype=np.int32)
     # perturbed init pose
     cam_init = np.array([1, 0, 0, 0, 0.05, -0.03, 0.04], np.float32)
-    best_cam, best_loss, l0, l_last, op = track_frame(
+    best_cam, best_loss, losses, op = track_frame(
         params, mcfg, rcfg, jnp.asarray(cam_init), jax.random.PRNGKey(2),
         jnp.asarray(color_img), jnp.asarray(gt_depth_img),
         jnp.asarray(rqm), jnp.asarray(rqm),
@@ -204,7 +204,7 @@ def test_track_frame_improves_pose(rng):
     # sub-cm error is exercised end-to-end on the synthetic sequence —
     # a 200-ray tiny-scene unit test is noise-dominated by design.)
     assert np.isfinite(best_cam).all()
-    assert float(best_loss) <= float(l0) + 1e-5
+    assert float(best_loss) <= float(losses[0]) + 1e-5
     assert np.linalg.norm(best_cam[4:]) < 0.3
 
 
