@@ -146,6 +146,98 @@ def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, tile_index,
     return pix, D.reshape(F, P, S, k), I.reshape(F, P, S, k)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "P", "S", "k", "u_max", "H", "W", "fx", "fy", "cx", "cy",
+    "near_surface", "far_surface", "min_nn", "weighting"))
+def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
+                            tile_index, capacity,
+                            P: int, S: int, k: int, u_max: int,
+                            H: int, W: int,
+                            fx: float, fy: float, cx: float, cy: float,
+                            near_surface: float, far_surface: float,
+                            min_nn: int, weighting: str):
+    """Union-dedup variant of the pixel cache (non-BA fast path).
+
+    The S depth-guided samples of one ray share most of their k neighbours,
+    and with fixed poses + fixed radii the interpolation WEIGHTS are
+    constants of the phase too (the reference recomputes them every
+    iteration only because faiss runs per iteration).  So per cached pixel
+    we precompute:
+      * uids (u_max,) — the union of its S*k neighbour rows, top-u_max by
+        total interpolation weight (padding/sentinel = capacity),
+      * Wm (S, u_max) — per-sample L1-renormalised weights over the union,
+      * pmask (S,) — sample-has-neighbours mask (occupancy -100 forcing).
+    Each optimizer iteration then gathers u_max rows per ray instead of
+    S*k and mixes them with one (S, u_max) x (u_max, C) batched matmul.
+
+    Returns (cache_pix (F, P), uids (F, P, u_max), Wm (F, P, S, u_max),
+    pmask (F, P, S)).
+    """
+    from .ops import interpolate as IT
+    from .ops import knn as Knn
+
+    F = depths.shape[0]
+    keys = jax.random.split(key, F)
+
+    def frame_queries(f):
+        r = jax.random.randint(keys[f], (P,), 0, jnp.iinfo(jnp.int32).max)
+        idx = pools[f, r % pool_lens[f]]
+        i = (idx % W).astype(jnp.float32)
+        j = (idx // W).astype(jnp.float32)
+        d = depths[f, idx // W, idx % W]
+        rq = rq_stack[f, idx // W, idx % W]
+        dirs = jnp.stack([(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)],
+                         -1)
+        R = c2ws[f, :3, :3]
+        rays_d = jnp.matmul(dirs, R.T, precision=jax.lax.Precision.HIGHEST)
+        rays_o = c2ws[f, :3, 3]
+        t = jnp.linspace(0.0, 1.0, S)
+        safe = jnp.where(d > 0, d, 1.0)
+        z = near_surface * safe[:, None] * (1 - t) \
+            + far_surface * safe[:, None] * t
+        p = rays_o[None, None, :] + rays_d[:, None, :] * z[..., None]
+        return idx, rq, p.reshape(-1, 3)
+
+    pix, rqs, queries = jax.lax.map(frame_queries, jnp.arange(F))
+    D, I = Knn.knn_tiles(queries.reshape(-1, 3), *tile_index, k=k)
+    rq_rep = jnp.repeat(rqs.reshape(-1), S, axis=0)
+    w, has = IT.interp_weights(D, I, queries.reshape(-1, 3), None, rq_rep,
+                               min_nn, weighting, diff_pos=False)
+    w = w[..., 0]  # (F*P*S, k)
+
+    SK = S * k
+
+    def unionize(ids_sk, w_sk):  # (S*k,), (S, k)
+        order = jnp.argsort(ids_sk)
+        sid = ids_sk[order]
+        newgrp = jnp.concatenate([jnp.ones((1,), bool),
+                                  sid[1:] != sid[:-1]])
+        slot = jnp.cumsum(newgrp) - 1                       # (S*k,)
+        wa = jnp.abs(w_sk.reshape(-1))[order]
+        tw = jax.ops.segment_sum(wa, slot, num_segments=SK)
+        uid_slot = jnp.zeros((SK,), ids_sk.dtype).at[slot].max(sid)
+        twk, sel = jax.lax.top_k(tw, u_max)                 # best slots
+        pos = jnp.full((SK,), u_max, jnp.int32).at[sel].set(
+            jnp.arange(u_max, dtype=jnp.int32))
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(SK, dtype=order.dtype))
+        fslot = pos[slot[inv]]                              # (S*k,)
+        Wm = jnp.zeros((S, u_max + 1)).at[
+            jnp.repeat(jnp.arange(S), k), fslot].add(w_sk.reshape(-1))
+        Wm = Wm[:, :u_max]
+        rs = jnp.sum(jnp.abs(Wm), axis=1, keepdims=True)
+        Wm = jnp.where(rs > 1e-12, Wm / jnp.maximum(rs, 1e-12), 0.0)
+        uids = jnp.where(twk > 0, uid_slot[sel], capacity)
+        return uids.astype(jnp.int32), Wm
+
+    ids = I.reshape(F * P, SK)
+    uids, Wm = jax.vmap(unionize)(ids, w.reshape(F * P, S, k))
+    return (pix,
+            uids.reshape(F, P, u_max),
+            Wm.reshape(F, P, S, u_max),
+            has.reshape(F, P, S))
+
+
 @jax.jit
 def count_unique(cacheI):
     s = jnp.sort(cacheI.reshape(-1))
@@ -191,7 +283,8 @@ def unique_bucket(n: int, cap: int) -> int:
     jax.jit,
     static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
                      "fx", "fy", "cx", "cy", "n_iters", "use_exposure",
-                     "opt_color_dec", "opt_geo_dec", "w_color", "use_ba"),
+                     "opt_color_dec", "opt_geo_dec", "w_color", "use_ba",
+                     "use_union"),
     donate_argnames=("opt_params", "opt_state"))
 def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              opt_params, opt_state, key,
@@ -205,7 +298,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              fx: float, fy: float, cx: float, cy: float,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
              opt_geo_dec: bool, w_color: float, use_ba: bool = False,
-             cam_trainable=None):
+             cam_trainable=None, use_union: bool = False,
+             cacheWm=None, cachePmask=None):
     """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
     stages).
 
@@ -270,10 +364,53 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         d_gt = depths[fid, jj, ii]
         c_gt = colors[fid, jj, ii]
         rq = rq_map[fid, jj, ii]
-        kk = cacheD.shape[-1]
-        Dc = cacheD[fid, slot].reshape(-1, kk)
-        Ic = cacheI[fid, slot].reshape(-1, kk)
-        return fid, rays_o, rays_d, d_gt, c_gt, rq, (Dc, Ic)
+        if use_union:
+            kcache = (cacheI[fid, slot],       # uids (n, u)
+                      cacheWm[fid, slot],      # Wm (n, S, u)
+                      cachePmask[fid, slot])   # pmask (n, S)
+        else:
+            kk = cacheD.shape[-1]
+            kcache = (cacheD[fid, slot].reshape(-1, kk),
+                      cacheI[fid, slot].reshape(-1, kk))
+        return fid, rays_o, rays_d, d_gt, c_gt, rq, kcache
+
+    def render_union(pr, stage, rays_o, rays_d, d_gt, geo_c, col_c, kcache):
+        """Fused union-cache render (see build_pixel_union_cache): one
+        u_max-row gather per ray + (S, u) x (u, C) batched matmuls replace
+        the per-sample k-row gathers of render_rays.  Weights are
+        phase-constants, so only valid when poses are fixed (not BA)."""
+        from .ops import composite as Co
+        from .ops import interpolate as IT
+
+        uids, Wm, pm = kcache
+        n = rays_o.shape[0]
+        S_pts = rcfg.N_surface
+        safe = jnp.where(d_gt > 0, d_gt, 1.0)
+        z = S.surface_z_vals(safe, S_pts, rcfg.near_end_surface,
+                             rcfg.far_end_surface, rcfg.fix_interval)
+        pts = (rays_o[:, None, :]
+               + rays_d[:, None, :] * z[..., None]).reshape(-1, 3)
+        pmf = pm.reshape(-1)
+        c_geo = IT.union_gather(geo_c, uids, Wm).reshape(-1,
+                                                         geo_c.shape[-1])
+        c_geo = jnp.where(pmf[:, None], c_geo, 0.0)
+        occ = Dec.apply_geo(pr[f"geo_{level}"], mcfg, pts, c_geo)
+        vmask = Dec.valid_ray_mask(pmf, S_pts, rcfg.N_surface)
+        if stage.startswith("color"):
+            c_col = IT.union_gather(col_c, uids, Wm).reshape(
+                -1, col_c.shape[-1])
+            c_col = jnp.where(pmf[:, None], c_col, 0.0)
+            views_d = (jnp.repeat(rays_d, S_pts, axis=0)
+                       if mcfg.use_view_direction else None)
+            rgb = Dec.apply_color(pr[f"col_{level}"], mcfg, pts, c_col,
+                                  views_d=views_d, exposure_feat=None)
+        else:
+            rgb = jnp.zeros((pts.shape[0], 3))
+        occ = jnp.where(pmf, occ, -100.0)
+        raw = jnp.concatenate([rgb, occ[:, None]], -1).reshape(n, S_pts, 4)
+        depth, unc, color, _ = Co.raw2outputs(
+            raw, z, rays_d, occupancy=rcfg.occupancy, coef=rcfg.sigmoid_coef)
+        return depth, unc, color, vmask
 
     def stage_loss(op, k, stage_id):
         pr = merged_params(op)
@@ -282,10 +419,15 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                                      1.2 * jnp.max(d_gt))
 
         def run_stage(stage):
-            depth, unc, color, vmask = render_rays(
-                pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
-                pos, count, op["geo"], op["col"], rq, is_tracker=use_ba,
-                exposure_feat=None, knn_cache=kcache)
+            if use_union:
+                depth, unc, color, vmask = render_union(
+                    pr, stage, rays_o, rays_d, d_gt, op["geo"], op["col"],
+                    kcache)
+            else:
+                depth, unc, color, vmask = render_rays(
+                    pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
+                    pos, count, op["geo"], op["col"], rq, is_tracker=use_ba,
+                    exposure_feat=None, knn_cache=kcache)
             mask = (d_gt > 0) & vmask & jnp.isfinite(depth) & inside
             geo_loss = jnp.sum(jnp.where(mask, jnp.abs(d_gt - depth), 0.0))
             if stage.startswith("geometry"):
@@ -716,19 +858,44 @@ class Mapper:
                 cam_trainable[slot] = slot != oldest_slot
         cam_tensors_j = jnp.asarray(cam_tensors)
 
+        # union-dedup fast path: valid when interpolation weights are
+        # phase-constants — poses fixed (no BA) and no per-pair rel-pos
+        # encoding (ScanNet headline config qualifies)
+        use_union = (not use_ba
+                     and not slam.mcfg.encode_rel_pos_in_col
+                     and not slam.mcfg.encode_rel_pos_in_geo)
+        u_max = int(self.cfg["mapping"].get("union_size", 16))
+
         keys = jax.random.split(key, 4)
         for phase_i, level in enumerate(("mid", "fine")):
             stage_ids, lr_table = schedules[level]
             if stage_ids.size == 0:
                 continue
             lv = npc.levels[level]
-            cache_pix, cacheD, cacheI = build_pixel_knn_cache(
-                keys[2 + phase_i], depths_j, c2ws_j, pools_j, pool_lens_j,
-                npc.index(level), P=P, S=self.rcfg.N_surface,
-                k=self.rcfg.nn_num, H=H, W=W,
-                fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
-                near_surface=self.rcfg.near_end_surface,
-                far_surface=self.rcfg.far_end_surface)
+            cacheD = cacheWm = cachePmask = None
+            if use_union:
+                cache_pix, cacheI, cacheWm, cachePmask = \
+                    build_pixel_union_cache(
+                        keys[2 + phase_i], depths_j, c2ws_j, pools_j,
+                        pool_lens_j,
+                        rqm if level == "mid" else rqf,
+                        npc.index(level), jnp.int32(lv.capacity),
+                        P=P, S=self.rcfg.N_surface, k=self.rcfg.nn_num,
+                        u_max=u_max, H=H, W=W,
+                        fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
+                        near_surface=self.rcfg.near_end_surface,
+                        far_surface=self.rcfg.far_end_surface,
+                        min_nn=slam.mcfg.min_nn_num,
+                        weighting=slam.mcfg.weighting)
+            else:
+                cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+                    keys[2 + phase_i], depths_j, c2ws_j, pools_j,
+                    pool_lens_j,
+                    npc.index(level), P=P, S=self.rcfg.N_surface,
+                    k=self.rcfg.nn_num, H=H, W=W,
+                    fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
+                    near_surface=self.rcfg.near_end_surface,
+                    far_surface=self.rcfg.far_end_surface)
             # compact the scene to the rows this phase can touch (see
             # compact_scene) — the scan's Adam then runs over U rows
             # instead of the full capacity
@@ -778,7 +945,9 @@ class Mapper:
                 opt_color_dec=opt_color_dec, opt_geo_dec=opt_geo_dec,
                 w_color=self.w_color, use_ba=use_ba,
                 cam_trainable=(jnp.asarray(cam_trainable) if use_ba
-                               else None), **common)
+                               else None),
+                use_union=use_union, cacheWm=cacheWm,
+                cachePmask=cachePmask, **common)
 
             npc.scatter_feats(uniq, opt_params["geo"], opt_params["col"],
                               level)

@@ -114,6 +114,39 @@ def _interp_gather_bwd(res, dc):
 _interp_gather.defvjp(_interp_gather_fwd, _interp_gather_bwd)
 
 
+@jax.custom_vjp
+def union_gather(feats, uids, Wm):
+    """Per-ray union interpolation: out[n, s] = sum_u Wm[n, s, u] *
+    feats[uids[n, u]].
+
+    The S samples of one ray share most of their k neighbours; gathering
+    the per-ray UNION once and mixing with a (S, u) weight matrix turns
+    S*k row-gathers into u (u ~ 2k) and makes the weighted sum a batched
+    matmul (MXU) instead of a broadcast-reduce.  Backward scatters only
+    n*u rows via the split-scatter fast path.
+    """
+    return jnp.einsum("nsu,nuc->nsc", Wm, feats[uids])
+
+
+def _union_gather_fwd(feats, uids, Wm):
+    gathered = feats[uids]  # (n, u, C)
+    return jnp.einsum("nsu,nuc->nsc", Wm, gathered), (uids, Wm, gathered,
+                                                      feats.shape[0])
+
+
+def _union_gather_bwd(res, dC):
+    uids, Wm, gathered, rows = res
+    dRows = jnp.einsum("nsu,nsc->nuc", Wm, dC)
+    C = dC.shape[-1]
+    dfeats = _split_scatter_add(rows, C, uids.reshape(-1),
+                                dRows.reshape(-1, C))
+    dWm = jnp.einsum("nuc,nsc->nsu", gathered, dC)
+    return dfeats, None, dWm
+
+
+union_gather.defvjp(_union_gather_fwd, _union_gather_bwd)
+
+
 def weighted_gather(feats, I, weights, has_neighbors, fill=None):
     """c = sum_k w_k * feats[I_k]; rows without neighbours get ``fill``
     (zeros by default — the reference uses N(0, 0.01) noise, decoder.py:262-263,

@@ -71,7 +71,7 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 is_tracker: bool = False, exposure_feat=None,
                 far_fallback: Optional[jnp.ndarray] = None,
                 zero_depth_z_vals: Optional[jnp.ndarray] = None,
-                knn_cache=None):
+                knn_cache=None, tile_index=None):
     """Render one batch of rays at one stage/level.
 
     Args:
@@ -121,6 +121,9 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     # one kNN per stage, shared by geometry+colour decoders of the level
     if knn_cache is not None:
         D, I = knn_cache
+    elif tile_index is not None:
+        D, I = K.knn_tiles(jax.lax.stop_gradient(p), *tile_index,
+                           k=rcfg.nn_num)
     else:
         D, I = K.knn_auto(jax.lax.stop_gradient(p), cloud_pos, cloud_count,
                           k=rcfg.nn_num)
@@ -151,7 +154,7 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
 def sample_near_pcl_z(rays_o, rays_d, near, far, n_surface: int,
                       cloud_pos, cloud_count, r_query, nn_num: int = 8,
-                      intervals: int = 25):
+                      intervals: int = 25, tile_index=None):
     """z-values near the point cloud for zero-depth rays.
 
     Reference: neural_point.py:443-495 — probe ``intervals`` stratified
@@ -164,7 +167,11 @@ def sample_near_pcl_z(rays_o, rays_d, near, far, n_surface: int,
     N = rays_o.shape[0]
     z_probe = jnp.linspace(near, far, intervals)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_probe[None, :, None]
-    D, I = K.knn_auto(pts.reshape(-1, 3), cloud_pos, cloud_count, k=nn_num)
+    if tile_index is not None:
+        D, I = K.knn_tiles(pts.reshape(-1, 3), *tile_index, k=nn_num)
+    else:
+        D, I = K.knn_auto(pts.reshape(-1, 3), cloud_pos, cloud_count,
+                          k=nn_num)
     nn = K.neighbor_counts(D, jnp.repeat(r_query, intervals, axis=0))
     has = (nn > 0).reshape(N, intervals)
 
@@ -182,13 +189,16 @@ def sample_near_pcl_z(rays_o, rays_d, near, far, n_surface: int,
 
 def eval_points(params, mcfg: Dec.ModelConfig, p, cloud_pos, cloud_count,
                 geo_feats, col_feats, r_query, nn_num: int = 8,
-                level: str = "fine", exposure_feat=None):
+                level: str = "fine", exposure_feat=None, tile_index=None):
     """Query occupancy logit + colour at arbitrary 3D points (mesher path,
     reference stage 'mesh', decoder.py:743-752).
 
     Returns (occ (N,), rgb (N, 3), point_mask (N,)).
     """
-    D, I = K.knn_auto(p, cloud_pos, cloud_count, k=nn_num)
+    if tile_index is not None:
+        D, I = K.knn_tiles(p, *tile_index, k=nn_num)
+    else:
+        D, I = K.knn_auto(p, cloud_pos, cloud_count, k=nn_num)
     geo_dec = params[f"geo_{level}"]
     col_dec = params[f"col_{level}"]
     c_geo, has = Dec.interpolate_level_feats(

@@ -32,6 +32,8 @@ def render_img(params, mcfg, rcfg: RenderConfig, c2w, H, W, fx, fy, cx, cy,
     depth_flat = (jnp.asarray(gt_depth).reshape(-1) if gt_depth is not None
                   else jnp.zeros(H * W))
     pos, count, geo, col = level_arrays
+    from ..ops import knn as K
+    tile_index = K.build_tiles(pos, count)
 
     n = rays_o.shape[0]
     pad = (-n) % ray_batch_size
@@ -51,11 +53,12 @@ def render_img(params, mcfg, rcfg: RenderConfig, c2w, H, W, fx, fy, cx, cy,
         if rcfg.sample_near_pcl and bool((dg <= 0).any()):
             zd, _ = sample_near_pcl_z(ro, rd, rcfg.near_end, far,
                                       rcfg.N_surface, pos, count, rqb,
-                                      rcfg.nn_num)
+                                      rcfg.nn_num, tile_index=tile_index)
         d, u, c, _ = render_rays(params, mcfg, rcfg, stage, ro, rd, dg,
                                  pos, count, geo, col, rqb,
                                  exposure_feat=exposure_feat,
-                                 far_fallback=far, zero_depth_z_vals=zd)
+                                 far_fallback=far, zero_depth_z_vals=zd,
+                                 tile_index=tile_index)
         outs_d.append(np.asarray(d))
         outs_u.append(np.asarray(u))
         outs_c.append(np.asarray(c))

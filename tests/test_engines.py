@@ -329,3 +329,72 @@ def test_map_scan_ba_updates_poses(rng):
     np.testing.assert_array_equal(out_cams[0], cams[0])  # frozen slot
     assert np.abs(out_cams[1] - cams[1]).max() > 1e-6    # trainable moved
     assert np.abs(out_cams[2] - cams[2]).max() > 1e-6
+
+
+def test_map_scan_union_matches_reference_path(rng):
+    """With u_max = S*k (no union drops) the union fast path computes the
+    same loss trajectory as the per-sample kNN-cache path."""
+    from hpslam_tpu.mapper import build_pixel_union_cache, map_scan as MS
+    mcfg = small_cfg()
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+
+    H, W, F = 24, 32, 2
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                     -np.ones_like(ii, float)], -1)
+    depth = (2.0 / -dirs[..., 2]).astype(np.float32)
+    color_img = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    colors = jnp.asarray(np.broadcast_to(color_img, (F, H, W, 3)).copy())
+    depths = jnp.asarray(np.broadcast_to(depth, (F, H, W)).copy())
+    c2ws = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (F, 1, 1)))
+    rq = jnp.asarray(np.full((F, H, W), 0.4, np.float32))
+    pools = jnp.asarray(np.broadcast_to(
+        np.arange(H * W, dtype=np.int32), (F, H * W)).copy())
+    pool_lens = jnp.asarray(np.full((F,), H * W, np.int32))
+    expo_stack = jnp.asarray(np.zeros((F, 8), np.float32))
+
+    n_iters = 8
+    stage_ids = np.concatenate([np.zeros(4, np.int32), np.ones(4, np.int32)])
+    lr_table = np.tile(np.array([[0.0, 0.03, 0.02, 0.0]], np.float32),
+                       (n_iters, 1))
+    S_, k_ = 5, 8
+    idx = KK.build_tiles(pos, count)
+    key = jax.random.PRNGKey(7)
+
+    def run(union: bool):
+        op = {"geo": jnp.copy(geo), "col": jnp.copy(col)}
+        ost = Opt.init(op)
+        if union:
+            cp, uids, Wm, pm = build_pixel_union_cache(
+                key, depths, c2ws, pools, pool_lens, rq, idx,
+                jnp.int32(pos.shape[0]), P=128, S=S_, k=k_, u_max=S_ * k_,
+                H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+                near_surface=0.96, far_surface=1.04,
+                min_nn=mcfg.min_nn_num, weighting=mcfg.weighting)
+            kw = dict(cache_pix=cp, cacheD=None, cacheI=uids,
+                      use_union=True, cacheWm=Wm, cachePmask=pm)
+        else:
+            cp, cd, ci = build_pixel_knn_cache(
+                key, depths, c2ws, pools, pool_lens, idx,
+                P=128, S=S_, k=k_, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+                near_surface=0.96, far_surface=1.04)
+            kw = dict(cache_pix=cp, cacheD=cd, cacheI=ci)
+        op, ost, losses = MS(
+            params, mcfg, rcfg, op, ost, jax.random.PRNGKey(1),
+            colors, depths, c2ws, rq, expo_stack=expo_stack,
+            pos=pos, count=count,
+            stage_ids=jnp.asarray(stage_ids), lr_table=jnp.asarray(lr_table),
+            F_actual=jnp.int32(F), level="fine", n_rays=128, F_max=F,
+            H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy, n_iters=n_iters,
+            use_exposure=False, opt_color_dec=False, opt_geo_dec=False,
+            w_color=0.1, **kw)
+        return np.asarray(losses)
+
+    l_ref = run(False)
+    l_uni = run(True)
+    assert np.isfinite(l_uni).all()
+    np.testing.assert_allclose(l_uni, l_ref, rtol=2e-3, atol=2e-2)

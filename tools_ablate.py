@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Ablation harness (VERDICT r1 item 6): measure the ATE impact of the
+TPU-design shortcuts on the synthetic sequence.
+
+Variants:
+  * baseline        — frozen per-stage tracker pixels/kNN (resample=1),
+                      mapper pixel-kNN cache P=2000
+  * resample2/4     — tracker re-draws pixels + re-searches 2x/4x per stage
+                      (approaching the reference's per-iteration resampling,
+                      Tracker.py:128-168)
+  * cacheP500/P8000 — mapper per-frame cached-pixel pool size (the
+                      reference samples from the whole image every
+                      iteration, Mapper.py:698-751)
+
+Writes ABLATIONS.md with the ATE table.
+"""
+import copy
+import json
+import os
+import sys
+import time
+
+
+def run_variant(name: str, overrides: dict):
+    from hpslam_tpu import config as C
+    from hpslam_tpu.slam import PointSLAM
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = C.load_config(os.path.join(here, "configs/Synthetic/synth_tpu.yaml"),
+                        os.path.join(here, "configs/point_slam.yaml"))
+    cfg = copy.deepcopy(cfg)
+    for path, v in overrides.items():
+        node = cfg
+        ks = path.split(".")
+        for k in ks[:-1]:
+            node = node.setdefault(k, {})
+        node[ks[-1]] = v
+    cfg["data"]["output"] = f"output/Synthetic/ablate_{name}"
+    cfg["verbose"] = False
+    t0 = time.perf_counter()
+    slam = PointSLAM(cfg)
+    results, summary = slam.run()
+    dt = time.perf_counter() - t0
+    rmse = results["absolute_translational_error.rmse"] if results else None
+    return {"name": name, "ate_rmse_m": rmse,
+            "track_ms": summary["track_ms_mean"],
+            "map_ms": summary["map_ms_mean"], "wall_s": dt}
+
+
+def main():
+    variants = [
+        ("baseline", {}),
+        ("resample2", {"tracking.resample_stages": 2}),
+        ("resample4", {"tracking.resample_stages": 4}),
+        ("cacheP500", {"mapping.pixels_knn_cache": 500}),
+        ("cacheP8000", {"mapping.pixels_knn_cache": 8000}),
+    ]
+    rows = []
+    for name, ov in variants:
+        print(f"=== {name}", flush=True)
+        rows.append(run_variant(name, ov))
+        print(json.dumps(rows[-1]), flush=True)
+
+    with open("ABLATIONS.md", "w") as f:
+        f.write("# Ablations — TPU-design shortcuts vs reference semantics\n\n")
+        f.write("30-frame synthetic sequence (configs/Synthetic/synth_tpu"
+                ".yaml), one TPU v5e chip.  Produced by tools_ablate.py.\n\n")
+        f.write("| variant | ATE RMSE (cm) | track ms | map ms |\n")
+        f.write("|---|---|---|---|\n")
+        for r in rows:
+            ate = f"{100*r['ate_rmse_m']:.2f}" if r["ate_rmse_m"] else "fail"
+            f.write(f"| {r['name']} | {ate} | {r['track_ms']:.0f} | "
+                    f"{r['map_ms']:.0f} |\n")
+    print("wrote ABLATIONS.md")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
