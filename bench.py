@@ -80,7 +80,7 @@ def main():
     from hpslam_tpu.renderer import RenderConfig
     from hpslam_tpu.tracker import track_frame
     from hpslam_tpu.mapper import (map_scan, build_schedule,
-                                   build_pixel_knn_cache, compact_scene,
+                                   build_pixel_union_cache, compact_scene,
                                    count_unique, unique_bucket)
 
     rng = np.random.default_rng(1219)
@@ -153,19 +153,21 @@ def main():
     P_CACHE = 2000
 
     def run_map(key):
-        """Both level phases with the product's compact-row optimization
-        path (see mapper.compact_scene)."""
+        """Both level phases with the product's union-dedup + compact-row
+        optimization path (mapper.build_pixel_union_cache/compact_scene)."""
         for lvl in ("mid", "fine"):
             stage_ids, lr_table = schedules[lvl]
             arr = level_arrays[lvl]
-            cache_pix, cacheD, cacheI = build_pixel_knn_cache(
-                key, depths, c2ws, pools, pool_lens,
-                indexes[lvl], P=P_CACHE, S=5, k=8, H=H, W=W,
+            cache_pix, uids, Wm, pmask = build_pixel_union_cache(
+                key, depths, c2ws, pools, pool_lens, rq_stack[lvl],
+                indexes[lvl], jnp.int32(arr[0].shape[0]),
+                P=P_CACHE, S=5, k=8, u_max=16, H=H, W=W,
                 fx=FX, fy=FY, cx=CX, cy=CY,
-                near_surface=0.96, far_surface=1.04)
-            U = unique_bucket(int(count_unique(cacheI)), arr[0].shape[0])
-            uniq, cacheI, pos_c, geo_c, col_c = compact_scene(
-                cacheI, arr[0], arr[2], arr[3], U)
+                near_surface=0.96, far_surface=1.04,
+                min_nn=mcfg.min_nn_num, weighting=mcfg.weighting)
+            U = unique_bucket(int(count_unique(uids)), arr[0].shape[0])
+            uniq, uids, pos_c, geo_c, col_c = compact_scene(
+                uids, arr[0], arr[2], arr[3], U)
             op = {"geo": geo_c, "col": col_c,
                   "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
                   "expo_feat": jnp.asarray(expo)}
@@ -174,14 +176,15 @@ def main():
                 params, mcfg, rcfg, op, ost, key,
                 colors, depths, c2ws,
                 rq_stack[lvl],
-                cache_pix, cacheD, cacheI,
+                cache_pix, None, uids,
                 expo_stack,
                 pos_c, jnp.int32(U),
                 jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
                 level=lvl, n_rays=MAP_RAYS, F_max=F, H=H, W=W,
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 n_iters=int(stage_ids.size), use_exposure=True,
-                opt_color_dec=True, opt_geo_dec=False, w_color=0.1)
+                opt_color_dec=True, opt_geo_dec=False, w_color=0.1,
+                use_union=True, cacheWm=Wm, cachePmask=pmask)
             arr0 = level_arrays[lvl]
             level_arrays[lvl] = (
                 arr0[0], arr0[1],

@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
 def init(params):
+    # jitted: an eager tree of zeros_like dispatches ~3 ops per leaf through
+    # the tunnelled runtime (~4 ms each) — one fused program instead
     zeros = jax.tree.map(jnp.zeros_like, params)
     return {"m": zeros, "v": jax.tree.map(jnp.zeros_like, params),
             "t": jnp.zeros((), jnp.int32)}

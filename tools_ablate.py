@@ -54,6 +54,8 @@ def main():
         ("resample4", {"tracking.resample_stages": 4}),
         ("cacheP500", {"mapping.pixels_knn_cache": 500}),
         ("cacheP8000", {"mapping.pixels_knn_cache": 8000}),
+        ("union8", {"mapping.union_size": 8}),
+        ("union40", {"mapping.union_size": 40}),  # = S*k, no union drops
     ]
     rows = []
     for name, ov in variants:
