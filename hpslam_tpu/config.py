@@ -77,6 +77,8 @@ _VALUE_FLAGS = [
     ("radius_query", float, ("pointcloud", "radius_query")),
     ("track_w_color_loss", float, ("tracking", "w_color_loss")),
     ("track_iter", int, ("tracking", "iters")),
+    ("resample", int, ("tracking", "resample_stages")),
+    ("union_size", int, ("mapping", "union_size")),
     ("map_iter", int, ("mapping", "iters")),
     ("min_iter_ratio", float, ("mapping", "min_iter_ratio")),
     ("map_every", int, ("mapping", "every_frame")),
