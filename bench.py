@@ -104,7 +104,8 @@ def main():
         pixels=TRACK_PIXELS, iters_mid=TRACK_ITERS // 2,
         iters_fine=TRACK_ITERS - TRACK_ITERS // 2, W=W,
         fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
-        use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True)
+        use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True,
+        resample_stages=2)  # product default (ABLATIONS.md)
 
     # tile indexes are built once per mapping frame in the product
     # (NeuralPointCloud.index); here positions are static

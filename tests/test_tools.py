@@ -89,3 +89,44 @@ def test_end_correction_decay(rng):
     ds = voxel_downsample(pts, 0.2)
     assert ds.shape[0] <= 6 ** 3
     assert ds.shape[0] > 50
+
+
+def test_convert_pretrained_roundtrip(tmp_path):
+    """Fake ConvONet 'coarse' checkpoint -> npz -> slam.load_pretrain keys.
+
+    Mirrors the reference's mapping of the ckpt's coarse decoder into BOTH
+    geometry decoders (Point_SLAM.py:237-260)."""
+    import numpy as np
+    import torch
+    from hpslam_tpu.tools.convert_pretrained import convert
+
+    g = torch.Generator().manual_seed(0)
+    state = {}
+    dims = [(110, 32)] + [(32, 32)] * 4  # embed 110 -> 5 x 32 trunk
+    for i, (din, dout) in enumerate(dims):
+        state[f"model.decoder.coarse.pts_linears.{i}.weight"] = torch.randn(
+            (dout, din), generator=g)
+        state[f"model.decoder.coarse.pts_linears.{i}.bias"] = torch.randn(
+            (dout,), generator=g)
+        state[f"model.decoder.coarse.fc_c.{i}.weight"] = torch.randn(
+            (dout, 32), generator=g)
+        state[f"model.decoder.coarse.fc_c.{i}.bias"] = torch.randn(
+            (dout,), generator=g)
+    state["model.decoder.coarse.output_linear.weight"] = torch.randn(
+        (1, 32), generator=g)
+    state["model.decoder.coarse.output_linear.bias"] = torch.randn(
+        (1,), generator=g)
+    state["model.decoder.fine.pts_linears.0.weight"] = torch.zeros((2, 2))
+    pt = str(tmp_path / "middle_fine.pt")
+    torch.save({"model": state}, pt)
+
+    out = convert(pt, str(tmp_path / "out.npz"))
+    # transposed Linear weights, both w and b present, fine keys excluded
+    assert out["pts_linears.0.w"].shape == (110, 32)
+    assert out["output_linear.w"].shape == (32, 1)
+    assert "fc_c.3.b" in out
+    assert not any("fine" in k for k in out)
+    data = np.load(str(tmp_path / "out.npz"))
+    np.testing.assert_allclose(
+        data["pts_linears.2.w"],
+        state["model.decoder.coarse.pts_linears.2.weight"].numpy().T)
