@@ -159,17 +159,18 @@ def main():
         for lvl in ("mid", "fine"):
             stage_ids, lr_table = schedules[lvl]
             arr = level_arrays[lvl]
-            cache_pix, uids, Wm, pmask = build_pixel_union_cache(
+            cache_pix, uids, Wm, pmask, cache_const = build_pixel_union_cache(
                 key, depths, c2ws, pools, pool_lens, rq_stack[lvl],
                 indexes[lvl], jnp.int32(arr[0].shape[0]),
-                P=P_CACHE, S=5, k=8, u_max=16, H=H, W=W,
+                P=P_CACHE, S=5, k=8, u_max=8, H=H, W=W,
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 near_surface=0.96, far_surface=1.04,
-                min_nn=mcfg.min_nn_num, weighting=mcfg.weighting)
+                min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
+                colors=colors)
             U = unique_bucket(int(count_unique(uids)), arr[0].shape[0])
             uniq, uids, pos_c, geo_c, col_c = compact_scene(
                 uids, arr[0], arr[2], arr[3], U)
-            op = {"geo": geo_c, "col": col_c,
+            op = {"feat": jnp.concatenate([geo_c, col_c], 1),
                   "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
                   "expo_feat": jnp.asarray(expo)}
             ost = Opt.init(op)
@@ -185,12 +186,14 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 n_iters=int(stage_ids.size), use_exposure=True,
                 opt_color_dec=True, opt_geo_dec=False, w_color=0.1,
-                use_union=True, cacheWm=Wm, cachePmask=pmask)
+                use_union=True, cacheWm=Wm, cachePmask=pmask,
+                cache_const=cache_const)
             arr0 = level_arrays[lvl]
+            Cd = mcfg.c_dim
             level_arrays[lvl] = (
                 arr0[0], arr0[1],
-                arr0[2].at[uniq].set(op["geo"], mode="drop"),
-                arr0[3].at[uniq].set(op["col"], mode="drop"))
+                arr0[2].at[uniq].set(op["feat"][:, :Cd], mode="drop"),
+                arr0[3].at[uniq].set(op["feat"][:, Cd:], mode="drop"))
             params[f"col_{lvl}"] = op["dec"][f"col_{lvl}"]
         jax.block_until_ready(losses)
         return losses

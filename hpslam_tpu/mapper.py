@@ -148,14 +148,15 @@ def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, tile_index,
 
 @functools.partial(jax.jit, static_argnames=(
     "P", "S", "k", "u_max", "H", "W", "fx", "fy", "cx", "cy",
-    "near_surface", "far_surface", "min_nn", "weighting"))
+    "near_surface", "far_surface", "min_nn", "weighting", "fix_interval"))
 def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
                             tile_index, capacity,
                             P: int, S: int, k: int, u_max: int,
                             H: int, W: int,
                             fx: float, fy: float, cx: float, cy: float,
                             near_surface: float, far_surface: float,
-                            min_nn: int, weighting: str):
+                            min_nn: int, weighting: str,
+                            colors=None, fix_interval: bool = False):
     """Union-dedup variant of the pixel cache (non-BA fast path).
 
     The S depth-guided samples of one ray share most of their k neighbours,
@@ -170,8 +171,15 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
     Each optimizer iteration then gathers u_max rows per ray instead of
     S*k and mixes them with one (S, u_max) x (u_max, C) batched matmul.
 
+    With fixed poses, EVERYTHING the optimizer scan reads per pixel is a
+    phase-constant: z values, sample positions, ray directions, GT
+    depth/colour.  These are precomputed into compact (F*P, ...) tables
+    (``const``) so each iteration gathers small contiguous rows instead of
+    scattering reads over the full [F, H, W] window stacks — random pixel
+    gathers from the 100 MB stacks were a measured per-iteration cost.
+
     Returns (cache_pix (F, P), uids (F, P, u_max), Wm (F, P, S, u_max),
-    pmask (F, P, S)).
+    pmask (F, P, S), const dict of flat (F*P, ...) tables).
     """
     from .ops import interpolate as IT
     from .ops import knn as Knn
@@ -186,19 +194,29 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
         j = (idx // W).astype(jnp.float32)
         d = depths[f, idx // W, idx % W]
         rq = rq_stack[f, idx // W, idx % W]
+        c_gt = (colors[f, idx // W, idx % W] if colors is not None
+                else jnp.zeros((P, 3)))
         dirs = jnp.stack([(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)],
                          -1)
         R = c2ws[f, :3, :3]
         rays_d = jnp.matmul(dirs, R.T, precision=jax.lax.Precision.HIGHEST)
         rays_o = c2ws[f, :3, 3]
-        t = jnp.linspace(0.0, 1.0, S)
         safe = jnp.where(d > 0, d, 1.0)
-        z = near_surface * safe[:, None] * (1 - t) \
-            + far_surface * safe[:, None] * t
+        from .ops import sampling as Samp
+        z = Samp.surface_z_vals(safe, S, near_surface, far_surface,
+                                fix_interval)
         p = rays_o[None, None, :] + rays_d[:, None, :] * z[..., None]
-        return idx, rq, p.reshape(-1, 3)
+        return idx, rq, p.reshape(-1, 3), z, rays_d, d, c_gt
 
-    pix, rqs, queries = jax.lax.map(frame_queries, jnp.arange(F))
+    (pix, rqs, queries, z_all, rd_all, d_all, c_all) = jax.lax.map(
+        frame_queries, jnp.arange(F))
+    const = {
+        "z": z_all.reshape(F * P, S),
+        "pts": queries.reshape(F * P, S, 3),
+        "rays_d": rd_all.reshape(F * P, 3),
+        "d_gt": d_all.reshape(F * P),
+        "c_gt": c_all.reshape(F * P, 3),
+    }
     D, I = Knn.knn_tiles(queries.reshape(-1, 3), *tile_index, k=k)
     rq_rep = jnp.repeat(rqs.reshape(-1), S, axis=0)
     w, has = IT.interp_weights(D, I, queries.reshape(-1, 3), None, rq_rep,
@@ -235,7 +253,8 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
     return (pix,
             uids.reshape(F, P, u_max),
             Wm.reshape(F, P, S, u_max),
-            has.reshape(F, P, S))
+            has.reshape(F, P, S),
+            const)
 
 
 @jax.jit
@@ -299,7 +318,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
              opt_geo_dec: bool, w_color: float, use_ba: bool = False,
              cam_trainable=None, use_union: bool = False,
-             cacheWm=None, cachePmask=None):
+             cacheWm=None, cachePmask=None, cache_const=None):
     """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
     stages).
 
@@ -314,9 +333,10 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     state and step count are threaded through both phases (``opt_state``
     in/out), preserving the shared-optimizer semantics.
 
-    opt_params: {'geo', 'col' (this level's feature arrays),
-                 optional 'dec', optional 'expo_feat',
-                 optional 'cams' (F_max, 7) when use_ba}
+    opt_params: union path: {'feat' (U, 2C) packed [geo | col] table};
+                 other paths: {'geo', 'col' (this level's feature arrays)};
+                 plus optional 'dec', optional 'expo_feat',
+                 optional 'cams' (F_max, 7) when use_ba
     stage_ids: (n_iters,) int32 in {0: geometry, 1: color}
     lr_table:  (n_iters, 4) per-group LRs [decoders, geo, col, BA_cam]
     cam_trainable: (F_max,) bool — BA optimizes all window poses except the
@@ -343,13 +363,31 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         return G.get_camera_from_tensor(cams)
 
     P = cache_pix.shape[1]
+    if use_union:
+        # flat (F*P, ...) views of the per-pixel union cache + constants
+        u_sz = cacheI.shape[-1]
+        S_c = cacheWm.shape[-2]
+        uids_t = cacheI.reshape(F_max * P, u_sz)
+        Wm_t = cacheWm.reshape(F_max * P, S_c, u_sz)
+        pm_t = cachePmask.reshape(F_max * P, S_c)
 
     def sample_rays(k, op):
         """n_rays spread over the F_actual active frames, drawn from the
-        per-frame cached pixel subsets (see build_pixel_knn_cache)."""
+        per-frame cached pixel subsets (see build_pixel_knn_cache).
+
+        Union path: every per-ray quantity is a phase-constant precomputed
+        by build_pixel_union_cache — one flat-row gather per table replaces
+        ray generation, z sampling and the scattered window-stack reads.
+        """
         fid = (jax.lax.broadcasted_iota(jnp.int32, (n_rays, 1), 0)[:, 0]
                % F_actual)
         slot = jax.random.randint(k, (n_rays,), 0, P)
+        if use_union:
+            flat = fid * P + slot
+            cc = cache_const
+            kcache = (uids_t[flat], Wm_t[flat], pm_t[flat])
+            return (fid, cc["rays_d"][flat], cc["d_gt"][flat],
+                    cc["c_gt"][flat], cc["z"][flat], cc["pts"][flat], kcache)
         idx = cache_pix[fid, slot]
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
@@ -364,42 +402,37 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         d_gt = depths[fid, jj, ii]
         c_gt = colors[fid, jj, ii]
         rq = rq_map[fid, jj, ii]
-        if use_union:
-            kcache = (cacheI[fid, slot],       # uids (n, u)
-                      cacheWm[fid, slot],      # Wm (n, S, u)
-                      cachePmask[fid, slot])   # pmask (n, S)
-        else:
-            kk = cacheD.shape[-1]
-            kcache = (cacheD[fid, slot].reshape(-1, kk),
-                      cacheI[fid, slot].reshape(-1, kk))
+        kk = cacheD.shape[-1]
+        kcache = (cacheD[fid, slot].reshape(-1, kk),
+                  cacheI[fid, slot].reshape(-1, kk))
         return fid, rays_o, rays_d, d_gt, c_gt, rq, kcache
 
-    def render_union(pr, stage, rays_o, rays_d, d_gt, geo_c, col_c, kcache):
-        """Fused union-cache render (see build_pixel_union_cache): one
-        u_max-row gather per ray + (S, u) x (u, C) batched matmuls replace
-        the per-sample k-row gathers of render_rays.  Weights are
+    def render_union(pr, stage, rays_d, z, pts3, feat_c, kcache):
+        """Fused union-cache render (see build_pixel_union_cache): ONE
+        u_max-row gather per ray from the packed [geo | col] feature table
+        + (S, u) x (u, 2C) batched matmuls replace the per-sample k-row
+        gathers of render_rays.  TPU gathers/scatters at these widths cost
+        per ROW, not per byte — one 2C-wide row costs the same as a C-wide
+        one, so packing halves the dominant per-iteration gather+scatter
+        work of colour stages.  Weights, z values and sample positions are
         phase-constants, so only valid when poses are fixed (not BA)."""
         from .ops import composite as Co
         from .ops import interpolate as IT
 
         uids, Wm, pm = kcache
-        n = rays_o.shape[0]
+        n = rays_d.shape[0]
         S_pts = rcfg.N_surface
-        safe = jnp.where(d_gt > 0, d_gt, 1.0)
-        z = S.surface_z_vals(safe, S_pts, rcfg.near_end_surface,
-                             rcfg.far_end_surface, rcfg.fix_interval)
-        pts = (rays_o[:, None, :]
-               + rays_d[:, None, :] * z[..., None]).reshape(-1, 3)
+        C = mcfg.c_dim
+        pts = pts3.reshape(-1, 3)
         pmf = pm.reshape(-1)
-        c_geo = IT.union_gather(geo_c, uids, Wm).reshape(-1,
-                                                         geo_c.shape[-1])
-        c_geo = jnp.where(pmf[:, None], c_geo, 0.0)
+        c_all = IT.union_gather(feat_c, uids, Wm).reshape(
+            -1, feat_c.shape[-1])
+        c_all = jnp.where(pmf[:, None], c_all, 0.0)
+        c_geo = c_all[:, :C]
         occ = Dec.apply_geo(pr[f"geo_{level}"], mcfg, pts, c_geo)
         vmask = Dec.valid_ray_mask(pmf, S_pts, rcfg.N_surface)
         if stage.startswith("color"):
-            c_col = IT.union_gather(col_c, uids, Wm).reshape(
-                -1, col_c.shape[-1])
-            c_col = jnp.where(pmf[:, None], c_col, 0.0)
+            c_col = c_all[:, C:]
             views_d = (jnp.repeat(rays_d, S_pts, axis=0)
                        if mcfg.use_view_direction else None)
             rgb = Dec.apply_color(pr[f"col_{level}"], mcfg, pts, c_col,
@@ -414,15 +447,17 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
     def stage_loss(op, k, stage_id):
         pr = merged_params(op)
-        fid, rays_o, rays_d, d_gt, c_gt, rq, kcache = sample_rays(k, op)
+        if use_union:
+            fid, rays_d, d_gt, c_gt, z_c, pts_c, kcache = sample_rays(k, op)
+        else:
+            fid, rays_o, rays_d, d_gt, c_gt, rq, kcache = sample_rays(k, op)
         inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
                                      1.2 * jnp.max(d_gt))
 
         def run_stage(stage):
             if use_union:
                 depth, unc, color, vmask = render_union(
-                    pr, stage, rays_o, rays_d, d_gt, op["geo"], op["col"],
-                    kcache)
+                    pr, stage, rays_d, z_c, pts_c, op["feat"], kcache)
             else:
                 depth, unc, color, vmask = render_rays(
                     pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
@@ -435,15 +470,25 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             if use_exposure:
                 # per-frame colour affine on raw decoder output, then
                 # sigmoid (Mapper.py:802-856); current frame's latent is
-                # optimizable, keyframes' are frozen.
+                # optimizable, keyframes' are frozen.  Per-ray affines are
+                # selected by ONE-HOT MATMUL, not rots[fid] row gather —
+                # the gather's backward is a 10k-row scatter-add (~1 ms
+                # at the ScanNet budget); the (n, F) x (F, 12) matmul and
+                # its transpose run on the MXU for ~free.
                 dec = pr[f"col_{level}"]
                 ef = jax.lax.stop_gradient(expo_stack)
                 if "expo_feat" in op:
                     ef = ef.at[F_actual - 1].set(op["expo_feat"])
                 rots, transs = jax.vmap(
                     lambda e: Dec.exposure_affine(dec, e))(ef)
-                rot = rots[fid]
-                tr = transs[fid]
+                n = color.shape[0]
+                oh = (fid[:, None] == jnp.arange(F_max)[None, :]
+                      ).astype(color.dtype)                      # (n, F)
+                aff = jnp.concatenate(
+                    [rots.reshape(F_max, 9), transs], axis=1)    # (F, 12)
+                sel = jnp.matmul(oh, aff)                        # (n, 12)
+                rot = sel[:, :9].reshape(n, 3, 3)
+                tr = sel[:, 9:]
                 color = jnp.einsum("nc,ncd->nd", color, rot,
                                    precision=jax.lax.Precision.HIGHEST) + tr
                 color = jax.nn.sigmoid(color)
@@ -457,7 +502,13 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         ])
 
     def lr_tree_for(lrs):
-        tree = {"geo": lrs[1], "col": lrs[2]}
+        if use_union:
+            # packed [geo | col] feature table: per-column-group LRs
+            C = mcfg.c_dim
+            tree = {"feat": jnp.concatenate(
+                [jnp.full((C,), lrs[1]), jnp.full((C,), lrs[2])])}
+        else:
+            tree = {"geo": lrs[1], "col": lrs[2]}
         if opt_color_dec or opt_geo_dec:
             tree["dec"] = jax.tree.map(lambda _: lrs[0], opt_params["dec"])
         if use_exposure and "expo_feat" in opt_params:
@@ -864,7 +915,10 @@ class Mapper:
         use_union = (not use_ba
                      and not slam.mcfg.encode_rel_pos_in_col
                      and not slam.mcfg.encode_rel_pos_in_geo)
-        u_max = int(self.cfg["mapping"].get("union_size", 16))
+        # union truncation: 8 is ATE-neutral vs exact u=S*k (ABLATIONS.md
+        # union8) and halves the per-iteration gather/scatter row count —
+        # the measured mapping bottleneck
+        u_max = int(self.cfg["mapping"].get("union_size", 8))
 
         keys = jax.random.split(key, 4)
         for phase_i, level in enumerate(("mid", "fine")):
@@ -872,9 +926,9 @@ class Mapper:
             if stage_ids.size == 0:
                 continue
             lv = npc.levels[level]
-            cacheD = cacheWm = cachePmask = None
+            cacheD = cacheWm = cachePmask = cache_const = None
             if use_union:
-                cache_pix, cacheI, cacheWm, cachePmask = \
+                cache_pix, cacheI, cacheWm, cachePmask, cache_const = \
                     build_pixel_union_cache(
                         keys[2 + phase_i], depths_j, c2ws_j, pools_j,
                         pool_lens_j,
@@ -886,7 +940,8 @@ class Mapper:
                         near_surface=self.rcfg.near_end_surface,
                         far_surface=self.rcfg.far_end_surface,
                         min_nn=slam.mcfg.min_nn_num,
-                        weighting=slam.mcfg.weighting)
+                        weighting=slam.mcfg.weighting,
+                        colors=colors, fix_interval=self.rcfg.fix_interval)
             else:
                 cache_pix, cacheD, cacheI = build_pixel_knn_cache(
                     keys[2 + phase_i], depths_j, c2ws_j, pools_j,
@@ -902,7 +957,10 @@ class Mapper:
             U = unique_bucket(int(count_unique(cacheI)), lv.capacity)
             uniq, cacheI, pos_c, geo_c, col_c = compact_scene(
                 cacheI, lv.pos, lv.geo, lv.col, U)
-            opt_params = {"geo": geo_c, "col": col_c}
+            if use_union:
+                opt_params = {"feat": jnp.concatenate([geo_c, col_c], 1)}
+            else:
+                opt_params = {"geo": geo_c, "col": col_c}
             if opt_color_dec or opt_geo_dec:
                 opt_params["dec"] = {}
                 if opt_color_dec:
@@ -947,10 +1005,15 @@ class Mapper:
                 cam_trainable=(jnp.asarray(cam_trainable) if use_ba
                                else None),
                 use_union=use_union, cacheWm=cacheWm,
-                cachePmask=cachePmask, **common)
+                cachePmask=cachePmask, cache_const=cache_const, **common)
 
-            npc.scatter_feats(uniq, opt_params["geo"], opt_params["col"],
-                              level)
+            if use_union:
+                Cd = slam.mcfg.c_dim
+                npc.scatter_feats(uniq, opt_params["feat"][:, :Cd],
+                                  opt_params["feat"][:, Cd:], level)
+            else:
+                npc.scatter_feats(uniq, opt_params["geo"],
+                                  opt_params["col"], level)
             if opt_color_dec:
                 new_params[f"col_{level}"] = opt_params["dec"][f"col_{level}"]
             if opt_geo_dec:

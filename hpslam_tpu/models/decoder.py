@@ -65,6 +65,13 @@ class ModelConfig:
     encode_viewd: bool = False
     use_view_direction: bool = False
     use_normals: bool = False
+    # bf16 MLP trunks: hidden activations + weights cast to bfloat16 with
+    # f32 accumulation (MXU-native).  Halves the HBM traffic of the
+    # per-iteration decoder forward+backward — the measured mapping
+    # bottleneck.  Fourier embeddings stay f32 (sin of ~1e3-radian args
+    # would lose all phase information in bf16).  ATE-ablated on the
+    # synthetic sequence (ABLATIONS.md) before being made the default.
+    mm_bf16: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "ModelConfig":
@@ -72,6 +79,7 @@ class ModelConfig:
         pc = cfg["pointcloud"]
         return cls(
             c_dim=m["c_dim"],
+            mm_bf16=m.get("mm_bf16", False),
             exposure_dim=m["exposure_dim"],
             min_nn_num=pc["min_nn_num"],
             nn_num=pc["nn_num"],
@@ -233,17 +241,44 @@ def init_nicer(key, cfg: ModelConfig) -> Params:
 # ---------------------------------------------------------------------------
 # forward passes
 
+def _apply_linear_bf16(p, x):
+    """x @ w + b with bf16 operands and f32 accumulation (one MXU pass)."""
+    y = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), p["w"].astype(jnp.bfloat16),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y + p["b"]
+
+
 def _mlp_trunk(core: Params, cfg: ModelConfig, embedded, c, actvn):
     """Shared trunk with skip concat + additive feature injection
-    (decoder.py:328-338)."""
-    h = embedded
+    (decoder.py:328-338).
+
+    mm_bf16 mode keeps the inter-layer activations in bfloat16 (the matmuls
+    accumulate f32, the activation function runs f32, then the result is
+    stored bf16) — halves the activation HBM traffic of forward AND of the
+    rematerialising backward.
+    """
+    if not cfg.mm_bf16:
+        h = embedded
+        for i, layer in enumerate(core["layers"]):
+            h = _apply_linear(layer, h)
+            h = actvn(h)
+            h = h + _apply_linear(core["fc_c"][i], c)
+            if i == cfg.skip:
+                h = jnp.concatenate([embedded, h], axis=-1)
+        return _apply_linear(core["out"], h)
+
+    emb16 = embedded.astype(jnp.bfloat16)
+    c16 = c.astype(jnp.bfloat16)
+    h = emb16
     for i, layer in enumerate(core["layers"]):
-        h = _apply_linear(layer, h)
+        h = _apply_linear_bf16(layer, h)
         h = actvn(h)
-        h = h + _apply_linear(core["fc_c"][i], c)
+        h = (h + _apply_linear_bf16(core["fc_c"][i], c16)).astype(jnp.bfloat16)
         if i == cfg.skip:
-            h = jnp.concatenate([embedded, h], axis=-1)
-    return _apply_linear(core["out"], h)
+            h = jnp.concatenate([emb16, h], axis=-1)
+    return _apply_linear_bf16(core["out"], h)
 
 
 def _neighbor_transform(p_dec: Params, cfg: ModelConfig, neighbor_feats,
@@ -340,7 +375,8 @@ def valid_ray_mask(has_neighbors, n_pts_per_ray: int, n_surface: int):
 def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
                geo_feats, col_feats, cloud_pos, r_query,
                n_pts_per_ray: int, is_tracker: bool = False,
-               views_d=None, normals=None, exposure_feat=None):
+               views_d=None, normals=None, exposure_feat=None,
+               cat_feats=None):
     """Evaluate one render stage at sample positions.
 
     Mirrors ``NICER.forward`` (decoder.py:660-758) with ``stage`` static:
@@ -371,12 +407,17 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
     if not (cfg.encode_rel_pos_in_geo or cfg.encode_rel_pos_in_col):
         # single fused gather of [geo | col] features — random-access
         # gathers are the mapping bottleneck on TPU (one 2C-wide gather
-        # beats two C-wide ones; the concat is cheap sequential bandwidth)
+        # beats two C-wide ones; the concat is cheap sequential bandwidth).
+        # Callers with read-only features (tracker) pass a hoisted,
+        # optionally bf16-cast ``cat_feats`` so the concat/cast isn't
+        # rebuilt inside their optimization scan.
         weights, has = IT.interp_weights(
             D, I, p, cloud_pos, r_query, cfg.min_nn_num, cfg.weighting,
             is_tracker)
-        cat = jnp.concatenate([geo_feats, col_feats], axis=1)
+        cat = (cat_feats if cat_feats is not None
+               else jnp.concatenate([geo_feats, col_feats], axis=1))
         c_all = IT.weighted_gather(cat, I, weights, has)
+        c_all = c_all.astype(jnp.float32)
         c_geo, c_col = c_all[:, : cfg.c_dim], c_all[:, cfg.c_dim:]
     else:
         c_geo, has = interpolate_level_feats(

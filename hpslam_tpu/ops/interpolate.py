@@ -108,7 +108,10 @@ def _interp_gather_bwd(res, dc):
     upd = (weights * dc[:, None, :]).reshape(-1, dc.shape[-1])
     dfeats = _split_scatter_add(rows, dc.shape[-1], I.reshape(-1), upd)
     dw = jnp.sum(gathered * dc[:, None, :], axis=-1, keepdims=True)
-    return dfeats, None, dw
+    # bf16 feature tables (tracker read-only mode): cotangent must match
+    # the primal dtype; it is DCE'd by XLA when features aren't optimized
+    return (dfeats.astype(gathered.dtype), None,
+            dw.astype(weights.dtype))
 
 
 _interp_gather.defvjp(_interp_gather_fwd, _interp_gather_bwd)

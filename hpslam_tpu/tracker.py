@@ -90,7 +90,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         ji = (idx // W, idx % W)
         return (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
 
-    def loss_fn(op, stage, level_arrays, inputs, knn_cache):
+    def loss_fn(op, stage, level_arrays, inputs, knn_cache, cat_feats):
         cam, pr, expo = assemble(op)
         c2w = G.get_camera_from_tensor(cam)
         i, j, d_gt, c_gt, rq = inputs
@@ -102,7 +102,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         depth, unc, color, _ = render_rays(
             pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
             pos, count, geo, col, rq, is_tracker=True, exposure_feat=expo,
-            knn_cache=knn_cache)
+            knn_cache=knn_cache, cat_feats=cat_feats)
         unc = jax.lax.stop_gradient(unc)
         ok = inside & jnp.isfinite(depth) & jnp.isfinite(unc)
         tmp = jnp.abs(d_gt - depth) / jnp.sqrt(unc + 1e-10)
@@ -126,13 +126,20 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
     mid_arrays = (pos_mid, count_mid, geo_mid, col_mid)
     fine_arrays = (pos_fine, count_fine, geo_fine, col_fine)
+    # hoisted [geo | col] gather tables, bf16 when mm_bf16 — the tracker
+    # never writes features, so the cast is lossless for pose gradients
+    # (weights stay f32) and halves the dominant per-iteration gather+MLP
+    # HBM traffic
+    fdt = jnp.bfloat16 if mcfg.mm_bf16 else jnp.float32
+    cat_mid = jnp.concatenate([geo_mid, col_mid], axis=1).astype(fdt)
+    cat_fine = jnp.concatenate([geo_fine, col_fine], axis=1).astype(fdt)
 
-    def make_step(stage, level_arrays, inputs, knn_cache):
+    def make_step(stage, level_arrays, inputs, knn_cache, cat_feats):
         def step(carry, _):
             op, ostate, best_loss, best_cam = carry
             loss, grads = jax.value_and_grad(
                 lambda o: loss_fn(o, stage, level_arrays, inputs,
-                                  knn_cache))(op)
+                                  knn_cache, cat_feats))(op)
             op, ostate = Opt.update(grads, ostate, op, lr_tree)
             cam = (jnp.concatenate([op["quad"], op["T"]])
                    if separate_lr else op["cam"])
@@ -165,7 +172,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 if separate_lr else c[0]["cam"])
 
     def run_stage(carry, stage, level_arrays, tile_index, r_query_map, k,
-                  iters):
+                  iters, cat_feats):
         """One coarse/fine stage, split into ``resample_stages`` sub-chunks
         with fresh pixel sets + neighbour searches each.  resample_stages=1
         is the production default (one frozen set per stage); higher values
@@ -181,17 +188,17 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             cache = stage_knn(inputs, tile_index, current_cam(carry),
                               rcfg.N_surface)
             carry, ls = jax.lax.scan(
-                make_step(stage, level_arrays, inputs, cache), carry,
-                None, length=sub)
+                make_step(stage, level_arrays, inputs, cache, cat_feats),
+                carry, None, length=sub)
             losses.append(ls)
         return carry, (jnp.concatenate(losses) if losses
                        else jnp.zeros((0,), jnp.float32))
 
     carry, losses_mid = run_stage(carry, "color_mid", mid_arrays, index_mid,
-                                  r_query_mid, k_mid, iters_mid)
+                                  r_query_mid, k_mid, iters_mid, cat_mid)
     carry, losses_fine = run_stage(carry, "color_fine", fine_arrays,
                                    index_fine, r_query_fine, k_fine,
-                                   iters_fine)
+                                   iters_fine, cat_fine)
     op, _, best_loss, best_cam = carry
     losses = jnp.concatenate([losses_mid, losses_fine])
     return best_cam, best_loss, losses, op

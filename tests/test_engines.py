@@ -336,7 +336,10 @@ def test_map_scan_union_matches_reference_path(rng):
     same loss trajectory as the per-sample kNN-cache path."""
     from hpslam_tpu.mapper import build_pixel_union_cache, map_scan as MS
     mcfg = small_cfg()
-    rcfg = R.RenderConfig(sample_near_pcl=False)
+    # near/far must match the cache build below: the union cache
+    # precomputes z values / sample positions at build time
+    rcfg = R.RenderConfig(sample_near_pcl=False,
+                          near_end_surface=0.96, far_end_surface=1.04)
     params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
     pos, count, geo, col = wall_level(rng)
 
@@ -366,17 +369,22 @@ def test_map_scan_union_matches_reference_path(rng):
     key = jax.random.PRNGKey(7)
 
     def run(union: bool):
-        op = {"geo": jnp.copy(geo), "col": jnp.copy(col)}
+        if union:
+            op = {"feat": jnp.concatenate([geo, col], 1)}
+        else:
+            op = {"geo": jnp.copy(geo), "col": jnp.copy(col)}
         ost = Opt.init(op)
         if union:
-            cp, uids, Wm, pm = build_pixel_union_cache(
+            cp, uids, Wm, pm, cconst = build_pixel_union_cache(
                 key, depths, c2ws, pools, pool_lens, rq, idx,
                 jnp.int32(pos.shape[0]), P=128, S=S_, k=k_, u_max=S_ * k_,
                 H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
                 near_surface=0.96, far_surface=1.04,
-                min_nn=mcfg.min_nn_num, weighting=mcfg.weighting)
+                min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
+                colors=colors)
             kw = dict(cache_pix=cp, cacheD=None, cacheI=uids,
-                      use_union=True, cacheWm=Wm, cachePmask=pm)
+                      use_union=True, cacheWm=Wm, cachePmask=pm,
+                      cache_const=cconst)
         else:
             cp, cd, ci = build_pixel_knn_cache(
                 key, depths, c2ws, pools, pool_lens, idx,
