@@ -100,7 +100,15 @@ def valid_pixel_pool(depth: np.ndarray, H0: int, H1: int, W0: int, W1: int,
                      depth_limit: float | None = None) -> np.ndarray:
     """Flat indices of pixels with positive (optionally bounded) depth inside
     a region — the sampling pool replacing the reference's sample-then-filter
-    (src/common.py:236-258)."""
+    (src/common.py:236-258).
+
+    Zero-depth exclusion is REFERENCE PARITY, not a shortcut: both the
+    reference tracker (src/Tracker.py:164-168) and mapper optimization
+    (src/Mapper.py:718) call get_samples with ``depth_filter=True``, which
+    drops depth==0 pixels before rendering.  The reference's
+    ``sample_near_pcl`` zero-depth path (src/utils/Renderer.py:196-208)
+    only fires in full-image rendering (visualization / meshing), which we
+    mirror via ``renderer.sample_near_pcl_z``."""
     H, W = depth.shape
     jj, ii = np.mgrid[H0:H1, W0:W1]
     d = depth[H0:H1, W0:W1]

@@ -35,7 +35,7 @@ from .renderer import RenderConfig, render_rays
     static_argnames=("mcfg", "rcfg", "pixels", "iters_mid", "iters_fine",
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
-                     "resample_stages"))
+                     "resample_stages", "ray_cand_k"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -47,7 +47,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 W: int, fx: float, fy: float, cx: float, cy: float,
                 cam_lr: float, separate_lr: bool, use_exposure: bool,
                 w_color: float, use_color: bool, handle_dynamic: bool,
-                resample_stages: int = 1):
+                resample_stages: int = 1, ray_cand_k: int = 24):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -149,19 +149,32 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             return (op, ostate, best_loss, best_cam), loss
         return step
 
-    def stage_knn(inputs, tile_index, cam, n_surface):
+    def stage_knn(inputs, tile_index, cloud_pos, cam, n_surface):
         """Single neighbour search at the stage's starting pose; iterations
-        reuse the indices (see render_rays knn_cache)."""
+        reuse the indices (see render_rays knn_cache).
+
+        ray_cand_k > 0 (default): ONE segment search per RAY via
+        knn_ray — tile probing, candidate gather and selection run per ray
+        (candidates ranked by exact point-to-segment distance), then exact
+        per-sample top-k from the shared candidates.  An S-fold query
+        reduction over the per-sample search; ray_cand_k is the per-ray
+        candidate count.  ray_cand_k == 0 falls back to the exact
+        per-sample search."""
         i, j, d_gt, _c, _rq = inputs
         c2w = G.get_camera_from_tensor(cam)
         rays_o, rays_d = G.get_rays_from_uv(i, j, c2w, fx, fy, cx, cy)
         from .ops import sampling as Samp
-        z = Samp.surface_z_vals(jnp.where(d_gt > 0, d_gt, 1.0), n_surface,
+        safe = jnp.where(d_gt > 0, d_gt, 1.0)
+        z = Samp.surface_z_vals(safe, n_surface,
                                 rcfg.near_end_surface, rcfg.far_end_surface,
                                 rcfg.fix_interval)
-        p = (rays_o[:, None] + rays_d[:, None] * z[..., None]).reshape(-1, 3)
         from .ops import knn as Knn
-        return Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num)
+        if ray_cand_k <= 0:
+            p = (rays_o[:, None] + rays_d[:, None] * z[..., None]
+                 ).reshape(-1, 3)
+            return Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num)
+        return Knn.knn_ray(rays_o, rays_d, z, *tile_index,
+                           k=rcfg.nn_num, kc=ray_cand_k)
 
     ostate = Opt.init(opt_params)
     carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
@@ -185,8 +198,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             if sub == 0:
                 continue
             inputs = stage_inputs(jax.random.fold_in(k, s), r_query_map)
-            cache = stage_knn(inputs, tile_index, current_cam(carry),
-                              rcfg.N_surface)
+            cache = stage_knn(inputs, tile_index, level_arrays[0],
+                              current_cam(carry), rcfg.N_surface)
             carry, ls = jax.lax.scan(
                 make_step(stage, level_arrays, inputs, cache, cat_feats),
                 carry, None, length=sub)
@@ -224,6 +237,12 @@ class Tracker:
         self.ignore_edge_H = t["ignore_edge_H"]
         self.const_speed = t["const_speed_assumption"]
         self.resample_stages = int(t.get("resample_stages", 1))
+        # 0 = exact per-sample search (default).  The per-ray segment
+        # search (knn_ray) measured SLOWER at prod scale: per-ray candidate
+        # sets must be ~2x wider (probe=32) for recall parity, and the
+        # per-sample distance+select over those wider sets outweighs the
+        # amortised tile scoring/gathers (89 vs 63 ms at 25k samples).
+        self.ray_cand_k = int(t.get("ray_cand_k", 0))
         self.gt_camera = t["gt_camera"]
         self.depth_limit = 5.0 if t["depth_limit"] else None
         self.ratio_iter_mid = 0.5  # Tracker.py:40
@@ -300,7 +319,8 @@ class Tracker:
             cam_lr=self.cam_lr, separate_lr=self.separate_lr,
             use_exposure=self.use_exposure, w_color=self.w_color,
             use_color=self.use_color, handle_dynamic=self.handle_dynamic,
-            resample_stages=self.resample_stages)
+            resample_stages=self.resample_stages,
+            ray_cand_k=self.ray_cand_k)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

@@ -147,3 +147,57 @@ def test_knn_tiles_empty_cloud():
     D, I = K.knn_tiles(jnp.ones((4, 3)), *idx, k=8, tile=128, probe=2)
     assert np.all(np.asarray(D) >= K.BIG)
     assert np.all(np.asarray(I) == 0)
+
+
+def test_knn_ray_segment_recall(rng):
+    """Per-ray segment search (tracker fast path) vs exact per-sample kNN
+    on a dense wall hit at oblique incidence — the case that defeats a
+    surface-point candidate disc (samples ±4% of depth off-surface slide
+    laterally across the wall by offset*tan(incidence); the segment
+    candidate set covers the whole span by construction)."""
+    N_cap = 1 << 16
+    pts = np.full((N_cap, 3), 777.0, np.float32)
+    # dense wall z = -2, ~1.1 cm spacing (fine-level density)
+    g = 200
+    xs, ys = np.meshgrid(np.linspace(-1.1, 1.1, g), np.linspace(-1.1, 1.1, g))
+    wall = np.stack([xs.ravel(), ys.ravel(), np.full(g * g, -2.0)], 1)
+    wall += rng.normal(0, 0.002, wall.shape)
+    count = g * g
+    pts[:count] = wall.astype(np.float32)
+
+    R, S, k = 500, 5, 8
+    o = np.zeros((3,), np.float32)
+    tgt = wall[rng.integers(0, count, R)]
+    d = (tgt - o).astype(np.float32)          # unnormalised, z-units
+    depth = np.ones((R, 1), np.float32)       # z scales rays_d
+    z = np.linspace(0.96, 1.04, S, dtype=np.float32)[None, :] * depth
+    p = o[None, None, :] + d[:, None, :] * z[..., None]  # (R, S, 3)
+
+    idx = K.build_tiles(jnp.asarray(pts), jnp.int32(count), tile=128)
+    D, I = K.knn_ray(jnp.asarray(np.tile(o, (R, 1))), jnp.asarray(d),
+                     jnp.asarray(z), *idx, k=k, kc=32)
+    D = np.asarray(D)
+
+    tree = cKDTree(pts[:count])
+    d_ref, _ = tree.query(p.reshape(-1, 3), k=k)
+    recall = np.mean(np.isclose(np.sqrt(D), d_ref, atol=1e-4))
+    assert recall >= 0.97, f"ray-segment recall {recall}"
+    # the nearest neighbour (drives interpolation weights) must be near-exact
+    recall1 = np.mean(np.isclose(np.sqrt(D[:, 0]), d_ref[:, 0], atol=1e-4))
+    assert recall1 >= 0.995, f"1-NN recall {recall1}"
+
+
+def test_knn_ray_masks_invalid(rng):
+    pts = np.full((256, 3), 1e6, np.float32)
+    pts[:4] = rng.uniform(-1, 1, (4, 3)).astype(np.float32)
+    idx = K.build_tiles(jnp.asarray(pts), jnp.int32(4), tile=128)
+    o = np.zeros((2, 3), np.float32)
+    d = pts[:2]
+    z = np.linspace(0.96, 1.04, 5, dtype=np.float32)[None, :].repeat(2, 0)
+    D, I = K.knn_ray(jnp.asarray(o), jnp.asarray(d), jnp.asarray(z),
+                     *idx, k=8, kc=16)
+    D, I = np.asarray(D), np.asarray(I)
+    assert np.all(I.ravel() < 4)
+    assert np.all(D[:, 4:] >= K.BIG)
+    # middle sample of ray 0 sits exactly on point 0
+    assert np.allclose(D[2, 0], 0.0, atol=1e-5)

@@ -105,6 +105,15 @@ def main():
         ("prod bf16", dict(bf16=True)),
         ("resample=1 bf16", dict(resample=1, bf16=True)),
         ("iters=50 bf16", dict(iters=50, bf16=True)),
+        ("iters=2 resample=1 bf16 (fixed costs)", dict(iters=2, resample=1, bf16=True)),
+        ("iters=2 resample=1 px=1000 bf16", dict(iters=2, resample=1, pixels=1000, bf16=True)),
+        ("iters=2 resample=1 nocolor bf16", dict(iters=2, resample=1, use_color=False, bf16=True)),
+        ("iters=102 r1 bf16", dict(iters=102, resample=1, bf16=True)),
+        ("iters=102 r1 bf16 nocolor", dict(iters=102, resample=1, bf16=True, use_color=False)),
+        ("iters=102 r1 bf16 noexpo", dict(iters=102, resample=1, bf16=True, use_exposure=False)),
+        ("iters=102 r1 bf16 px=2500", dict(iters=102, resample=1, bf16=True, pixels=2500)),
+        ("iters=2 r1 bf16 nocolor px=2500", dict(iters=2, resample=1, bf16=True, use_color=False, pixels=2500)),
+        ("iters=2 r1 bf16 noexpo", dict(iters=2, resample=1, bf16=True, use_exposure=False)),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for tag, kw in variants:
