@@ -27,6 +27,7 @@ estimate and vs_baseline is a lower bound on the true speedup.  Basis:
 Both views put the reference at >=10 s/frame; REF_ESTIMATE_MS = 10 s.
 The primary reported number is the absolute measured ms (target <=1000).
 """
+import dataclasses
 import json
 import os
 import sys
@@ -85,7 +86,8 @@ def main():
 
     rng = np.random.default_rng(1219)
     mcfg = Dec.ModelConfig(encode_exposure=True,
-                           encode_rel_pos_in_col=False)  # ScanNet model cfg
+                           encode_rel_pos_in_col=False,
+                           fused_mlp=True)  # ScanNet model cfg, fused trunks
     rcfg = RenderConfig(near_end_surface=0.96, far_end_surface=1.04,
                         sample_near_pcl=False)
     params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
@@ -117,8 +119,11 @@ def main():
 
     def run_track(key):
         m, f = level_arrays["mid"], level_arrays["fine"]
+        # tracker runs unfused (see tracker.py: fused trunks crash the TPU
+        # compile helper inside the full track_frame program)
+        mcfg_tr = dataclasses.replace(mcfg, fused_mlp=False)
         out = track_frame(
-            params, mcfg, rcfg, jnp.asarray(cam), key,
+            params, mcfg_tr, rcfg, jnp.asarray(cam), key,
             color_j, depth_j,
             rqm_j, rqf_j,
             pool_j, jnp.int32(pool.size),
@@ -187,7 +192,8 @@ def main():
                 n_iters=int(stage_ids.size), use_exposure=True,
                 opt_color_dec=True, opt_geo_dec=False, w_color=0.1,
                 use_union=True, cacheWm=Wm, cachePmask=pmask,
-                cache_const=cache_const)
+                cache_const=cache_const,
+                geo_iters=int(np.sum(np.asarray(stage_ids) == 0)))
             arr0 = level_arrays[lvl]
             Cd = mcfg.c_dim
             level_arrays[lvl] = (

@@ -26,6 +26,7 @@ TPU re-design (SURVEY.md §7 deltas 4/5):
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, List, Optional
 
@@ -148,7 +149,8 @@ def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, tile_index,
 
 @functools.partial(jax.jit, static_argnames=(
     "P", "S", "k", "u_max", "H", "W", "fx", "fy", "cx", "cy",
-    "near_surface", "far_surface", "min_nn", "weighting", "fix_interval"))
+    "near_surface", "far_surface", "min_nn", "weighting", "fix_interval",
+    "knn_probe"))
 def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
                             tile_index, capacity,
                             P: int, S: int, k: int, u_max: int,
@@ -156,7 +158,8 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
                             fx: float, fy: float, cx: float, cy: float,
                             near_surface: float, far_surface: float,
                             min_nn: int, weighting: str,
-                            colors=None, fix_interval: bool = False):
+                            colors=None, fix_interval: bool = False,
+                            knn_probe: int = 16):
     """Union-dedup variant of the pixel cache (non-BA fast path).
 
     The S depth-guided samples of one ray share most of their k neighbours,
@@ -217,7 +220,8 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
         "d_gt": d_all.reshape(F * P),
         "c_gt": c_all.reshape(F * P, 3),
     }
-    D, I = Knn.knn_tiles(queries.reshape(-1, 3), *tile_index, k=k)
+    D, I = Knn.knn_tiles(queries.reshape(-1, 3), *tile_index, k=k,
+                         probe=knn_probe)
     rq_rep = jnp.repeat(rqs.reshape(-1), S, axis=0)
     w, has = IT.interp_weights(D, I, queries.reshape(-1, 3), None, rq_rep,
                                min_nn, weighting, diff_pos=False)
@@ -303,7 +307,7 @@ def unique_bucket(n: int, cap: int) -> int:
     static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
                      "fx", "fy", "cx", "cy", "n_iters", "use_exposure",
                      "opt_color_dec", "opt_geo_dec", "w_color", "use_ba",
-                     "use_union"),
+                     "use_union", "geo_iters"),
     donate_argnames=("opt_params", "opt_state"))
 def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              opt_params, opt_state, key,
@@ -318,7 +322,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
              opt_geo_dec: bool, w_color: float, use_ba: bool = False,
              cam_trainable=None, use_union: bool = False,
-             cacheWm=None, cachePmask=None, cache_const=None):
+             cacheWm=None, cachePmask=None, cache_const=None,
+             geo_iters: int = -1):
     """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
     stages).
 
@@ -429,15 +434,24 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             -1, feat_c.shape[-1])
         c_all = jnp.where(pmf[:, None], c_all, 0.0)
         c_geo = c_all[:, :C]
-        occ = Dec.apply_geo(pr[f"geo_{level}"], mcfg, pts, c_geo)
         vmask = Dec.valid_ray_mask(pmf, S_pts, rcfg.N_surface)
         if stage.startswith("color"):
             c_col = c_all[:, C:]
-            views_d = (jnp.repeat(rays_d, S_pts, axis=0)
-                       if mcfg.use_view_direction else None)
-            rgb = Dec.apply_color(pr[f"col_{level}"], mcfg, pts, c_col,
-                                  views_d=views_d, exposure_feat=None)
+            if Dec.fused_usable(mcfg):
+                # one Pallas kernel for both trunks (exposure deferred)
+                occ, rgb = Dec.fused_color_pair(
+                    pr[f"geo_{level}"], pr[f"col_{level}"], mcfg, pts,
+                    c_geo, c_col, exposure_feat=None)
+            else:
+                occ = Dec.apply_geo(pr[f"geo_{level}"], mcfg, pts, c_geo)
+                views_d = (jnp.repeat(rays_d, S_pts, axis=0)
+                           if mcfg.use_view_direction else None)
+                rgb = Dec.apply_color(pr[f"col_{level}"], mcfg, pts, c_col,
+                                      views_d=views_d, exposure_feat=None)
         else:
+            occ = (Dec.fused_geo(pr[f"geo_{level}"], mcfg, pts, c_geo)
+                   if Dec.fused_usable(mcfg)
+                   else Dec.apply_geo(pr[f"geo_{level}"], mcfg, pts, c_geo))
             rgb = jnp.zeros((pts.shape[0], 3))
         occ = jnp.where(pmf, occ, -100.0)
         raw = jnp.concatenate([rgb, occ[:, None]], -1).reshape(n, S_pts, 4)
@@ -445,7 +459,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             raw, z, rays_d, occupancy=rcfg.occupancy, coef=rcfg.sigmoid_coef)
         return depth, unc, color, vmask
 
-    def stage_loss(op, k, stage_id):
+    def stage_loss(op, k, stage):
         pr = merged_params(op)
         if use_union:
             fid, rays_d, d_gt, c_gt, z_c, pts_c, kcache = sample_rays(k, op)
@@ -496,10 +510,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 jnp.where(mask[:, None], jnp.abs(c_gt - color), 0.0))
             return geo_loss + w_color * col_loss, geo_loss, col_loss
 
-        return jax.lax.switch(stage_id, [
-            lambda: run_stage(f"geometry_{level}"),
-            lambda: run_stage(f"color_{level}"),
-        ])
+        return run_stage(stage)
 
     def lr_tree_for(lrs):
         if use_union:
@@ -517,12 +528,56 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             tree["cams"] = lrs[3]
         return tree
 
-    def step(carry, xs):
+    def step_for(stage):
+        def step(carry, xs):
+            op, ostate = carry
+            k, lrs = xs
+
+            def scalar_loss(o):
+                total, geo_l, col_l = stage_loss(o, k, stage)
+                return total, (geo_l, col_l)
+
+            (loss, (geo_l, col_l)), grads = jax.value_and_grad(
+                scalar_loss, has_aux=True)(op)
+            op, ostate = Opt.update(grads, ostate, op, lr_tree_for(lrs))
+            return (op, ostate), jnp.stack([geo_l, col_l])
+        return step
+
+    keys = jax.random.split(key, n_iters)
+    if geo_iters >= 0:
+        # the schedule is contiguous (geometry then colour,
+        # build_schedule) and geo_iters is host-known — run one scan per
+        # stage with the stage STATIC instead of a per-iteration lax.cond
+        # (the conditional wrapper measured ~0.5 ms/iter of pure overhead
+        # at the ScanNet operating point)
+        g = min(geo_iters, n_iters)
+        carry = (opt_params, opt_state)
+        parts = []
+        if g > 0:
+            carry, lg = jax.lax.scan(
+                step_for(f"geometry_{level}"), carry,
+                (keys[:g], lr_table[:g]))
+            parts.append(lg)
+        if n_iters - g > 0:
+            carry, lc = jax.lax.scan(
+                step_for(f"color_{level}"), carry,
+                (keys[g:], lr_table[g:]))
+            parts.append(lc)
+        (opt_params, opt_state) = carry
+        losses = (jnp.concatenate(parts) if parts
+                  else jnp.zeros((0, 2), jnp.float32))
+        return opt_params, opt_state, losses
+
+    # legacy path: dynamic per-iteration stage dispatch
+    def step_dyn(carry, xs):
         op, ostate = carry
         k, stage_id, lrs = xs
 
         def scalar_loss(o):
-            total, geo_l, col_l = stage_loss(o, k, stage_id)
+            total, geo_l, col_l = jax.lax.switch(stage_id, [
+                lambda: stage_loss(o, k, f"geometry_{level}"),
+                lambda: stage_loss(o, k, f"color_{level}"),
+            ])
             return total, (geo_l, col_l)
 
         (loss, (geo_l, col_l)), grads = jax.value_and_grad(
@@ -530,9 +585,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         op, ostate = Opt.update(grads, ostate, op, lr_tree_for(lrs))
         return (op, ostate), jnp.stack([geo_l, col_l])
 
-    keys = jax.random.split(key, n_iters)
     (opt_params, opt_state), losses = jax.lax.scan(
-        step, (opt_params, opt_state), (keys, stage_ids, lr_table))
+        step_dyn, (opt_params, opt_state), (keys, stage_ids, lr_table))
     return opt_params, opt_state, losses
 
 
@@ -876,6 +930,10 @@ class Mapper:
         # optimizable pytrees, one phase per level (see map_scan docstring)
         opt_color_dec = not self.fix_color_decoder
         opt_geo_dec = not (self.fix_geo_mid and self.fix_geo_fine)
+        # Pallas-fused trunks return zero cotangents for the geometry core
+        # (frozen in the reference default) — fall back when unfreezing it
+        mcfg_run = (dataclasses.replace(slam.mcfg, fused_mlp=False)
+                    if opt_geo_dec else slam.mcfg)
         n_rays = self.mapping_pixels
         new_params = dict(params)
         new_expo = exposure_feat
@@ -941,7 +999,9 @@ class Mapper:
                         far_surface=self.rcfg.far_end_surface,
                         min_nn=slam.mcfg.min_nn_num,
                         weighting=slam.mcfg.weighting,
-                        colors=colors, fix_interval=self.rcfg.fix_interval)
+                        colors=colors, fix_interval=self.rcfg.fix_interval,
+                        knn_probe=int(self.cfg["mapping"].get("knn_probe",
+                                                              16)))
             else:
                 cache_pix, cacheD, cacheI = build_pixel_knn_cache(
                     keys[2 + phase_i], depths_j, c2ws_j, pools_j,
@@ -989,12 +1049,13 @@ class Mapper:
                 opt_state["t"] = shared_ostate["t"]
 
             opt_params, opt_state, losses = map_scan(
-                params, slam.mcfg, self.rcfg, opt_params, opt_state,
+                params, mcfg_run, self.rcfg, opt_params, opt_state,
                 keys[phase_i],
                 rq_map=rqm if level == "mid" else rqf,
                 cache_pix=cache_pix, cacheD=cacheD, cacheI=cacheI,
                 pos=pos_c, count=jnp.int32(U),
                 stage_ids=jnp.asarray(stage_ids),
+                geo_iters=int(np.sum(stage_ids == 0)),
                 lr_table=jnp.asarray(lr_table),
                 F_actual=jnp.int32(F_actual), level=level,
                 n_rays=n_rays, F_max=F_max, H=H, W=W,

@@ -37,6 +37,16 @@ from ..ops import interpolate as IT
 Params = Dict[str, Any]
 
 
+def _resolve_fused(v) -> bool:
+    """'auto' -> fused trunks on TPU, XLA path elsewhere (the Pallas
+    kernels run in interpret mode off-TPU — correct but slow, fine for
+    tests, wrong default for CPU runs)."""
+    if v == "auto":
+        d = jax.devices()[0]
+        return "tpu" in (d.platform + " " + d.device_kind).lower()
+    return bool(v)
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Static decoder configuration (hashable; safe as a jit static arg).
@@ -66,12 +76,16 @@ class ModelConfig:
     use_view_direction: bool = False
     use_normals: bool = False
     # bf16 MLP trunks: hidden activations + weights cast to bfloat16 with
-    # f32 accumulation (MXU-native).  Halves the HBM traffic of the
-    # per-iteration decoder forward+backward — the measured mapping
-    # bottleneck.  Fourier embeddings stay f32 (sin of ~1e3-radian args
-    # would lose all phase information in bf16).  ATE-ablated on the
-    # synthetic sequence (ABLATIONS.md) before being made the default.
+    # f32 accumulation (MXU-native).  Measured SLOWER than f32 at the
+    # mapping operating point (the iteration is HLO-op-count bound, not
+    # bandwidth bound) — kept as a knob, off by default.
     mm_bf16: bool = False
+    # Pallas-fused decoder trunks (ops/fused_mlp): one kernel per trunk
+    # pass instead of ~1000 small XLA ops; weights + activations stay in
+    # VMEM.  Only valid while the geometry core / Fourier Bs are frozen
+    # (reference default) and no rel-pos/normals/view-direction encoding
+    # is active — eval_stage falls back to the XLA path otherwise.
+    fused_mlp: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "ModelConfig":
@@ -80,6 +94,7 @@ class ModelConfig:
         return cls(
             c_dim=m["c_dim"],
             mm_bf16=m.get("mm_bf16", False),
+            fused_mlp=_resolve_fused(m.get("fused_mlp", "auto")),
             exposure_dim=m["exposure_dim"],
             min_nn_num=pc["min_nn_num"],
             nn_num=pc["nn_num"],
@@ -372,6 +387,44 @@ def valid_ray_mask(has_neighbors, n_pts_per_ray: int, n_surface: int):
     return per_ray >= int(n_surface / 2 + 1)
 
 
+def fused_usable(cfg: ModelConfig, views_d=None, normals=None) -> bool:
+    """Whether the Pallas-fused trunk path applies (see ModelConfig)."""
+    return (cfg.fused_mlp and not cfg.encode_rel_pos_in_geo
+            and not cfg.encode_rel_pos_in_col
+            and not cfg.use_view_direction and not cfg.use_normals
+            and views_d is None and normals is None)
+
+
+def fused_geo(p_dec: Params, cfg: ModelConfig, p, c_geo):
+    """apply_geo via the Pallas-fused kernel (geometry core frozen)."""
+    from ..ops import fused_mlp as FM
+    return FM.nicer_fused_geo(p, c_geo,
+                              tuple(FM.flatten_core(p_dec["core"])),
+                              p_dec["B"], cfg.n_blocks, cfg.skip)
+
+
+def fused_color_pair(geo_dec: Params, col_dec: Params, cfg: ModelConfig,
+                     p, c_geo, c_col, exposure_feat=None):
+    """apply_geo + apply_color in one Pallas kernel pair.
+
+    Returns (occ (n,), rgb (n, 3)); the exposure/sigmoid tail matches
+    apply_color (raw output when exposure is deferred to the caller)."""
+    from ..ops import fused_mlp as FM
+    occ, out = FM.nicer_fused_color(
+        p, c_geo, c_col,
+        tuple(FM.flatten_core(geo_dec["core"])),
+        tuple(FM.flatten_core(col_dec["core"])),
+        (geo_dec["B"], col_dec["B"]), cfg.n_blocks, cfg.skip)
+    if cfg.encode_exposure:
+        if exposure_feat is not None:
+            rot, trans = exposure_affine(col_dec, exposure_feat)
+            out = jnp.matmul(out, rot) + trans
+            out = jax.nn.sigmoid(out)
+    else:
+        out = jax.nn.sigmoid(out)
+    return occ, out
+
+
 def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
                geo_feats, col_feats, cloud_pos, r_query,
                n_pts_per_ray: int, is_tracker: bool = False,
@@ -397,7 +450,10 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
         c_geo, has = interpolate_level_feats(
             geo_dec, cfg, p, D, I, geo_feats, cloud_pos, r_query,
             diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_geo)
-        occ = apply_geo(geo_dec, cfg, p, c_geo)
+        if fused_usable(cfg):
+            occ = fused_geo(geo_dec, cfg, p, c_geo)
+        else:
+            occ = apply_geo(geo_dec, cfg, p, c_geo)
         vmask = valid_ray_mask(has, n_pts_per_ray, cfg.N_surface)
         raw = jnp.concatenate(
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1)
@@ -426,9 +482,13 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
         c_col, _ = interpolate_level_feats(
             col_dec, cfg, p, D, I, col_feats, cloud_pos, r_query,
             diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_col)
-    occ = apply_geo(geo_dec, cfg, p, c_geo)
     vmask = valid_ray_mask(has, n_pts_per_ray, cfg.N_surface)
-    rgb = apply_color(col_dec, cfg, p, c_col, views_d=views_d,
-                      normals=normals, exposure_feat=exposure_feat)
+    if fused_usable(cfg, views_d, normals):
+        occ, rgb = fused_color_pair(geo_dec, col_dec, cfg, p, c_geo, c_col,
+                                    exposure_feat=exposure_feat)
+    else:
+        occ = apply_geo(geo_dec, cfg, p, c_geo)
+        rgb = apply_color(col_dec, cfg, p, c_col, views_d=views_d,
+                          normals=normals, exposure_feat=exposure_feat)
     raw = jnp.concatenate([rgb, occ[..., None]], axis=-1)
     return raw, vmask, has

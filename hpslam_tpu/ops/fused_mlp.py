@@ -1,0 +1,469 @@
+"""Pallas-fused NICER decoder trunks.
+
+The mapping/tracking iteration cost is dominated not by FLOPs or HBM
+bandwidth but by HLO op count: the two decoder trunks expand to ~1000
+small XLA ops per optimizer step (measured via jax.profiler: 2+ GB of
+activation round-trips and a long tail of sub-100us fusions; casting the
+trunks to bf16 made iterations *slower*, confirming overhead-bound).
+These kernels collapse each trunk forward and backward into ONE Pallas
+program per pass: all weights live in VMEM (~0.5 MB), activations never
+touch HBM, and the backward recomputes the forward block-wise (remat) and
+accumulates weight gradients across the sequential TPU grid.
+
+Architecture mirrored (reference src/conv_onet/models/decoder.py:108-342,
+399-618; see models/decoder.py):
+  geometry: sin Fourier embed (93) -> 5x[linear -> ReLU -> +fc_c(c)] with
+    skip concat after block 2 -> linear -> occupancy logit.
+  colour:   sin+cos Fourier embed (40) -> 5x[linear -> Softplus(100)
+    -> +fc_c(c)] with skip concat -> linear -> raw rgb (sigmoid/exposure
+    applied by the caller).
+
+Gradients produced: d(positions), d(c_geo), d(c_col), d(colour core
+weights).  The geometry core and both Fourier B matrices are treated as
+frozen (reference default: geometry decoders are never optimized,
+point_slam.yaml:69-71; the learnable geo embedding only moves when the
+geo decoder is unfrozen) — callers must fall back to the unfused path
+when optimizing them (models/decoder.py eval_stage gates on
+``cfg.fused_mlp and not opt_geo_dec``).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Activation codes (static)
+_RELU, _SOFTPLUS100 = 0, 1
+
+_BN = 512  # fallback rows per grid step (used when padding is needed)
+
+
+def _pick_bn(n: int) -> int:
+    """Largest row-block <= 1024 that divides n and is a multiple of 8 —
+    avoids the pad+slice HBM copies of a ragged last block (measured
+    ~0.8 ms/iter at the mapping operating point)."""
+    for bn in range(min(1024, n), 7, -1):
+        if n % bn == 0 and bn % 8 == 0:
+            return bn
+    return _BN
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU (tests/CI run on CPU)."""
+    d = jax.devices()[0]
+    return "tpu" not in (d.platform + " " + d.device_kind).lower()
+
+
+def _act(code: int, a):
+    if code == _RELU:
+        return jnp.maximum(a, 0.0)
+    # Softplus(beta=100) with torch's threshold-20 clamp
+    bx = 100.0 * a
+    return jnp.where(bx > 20.0, a, jnp.log1p(jnp.exp(jnp.minimum(bx, 20.0)))
+                     / 100.0)
+
+
+def _dact(code: int, a):
+    """activation'(a) from the PRE-activation a."""
+    if code == _RELU:
+        return (a > 0.0).astype(a.dtype)
+    bx = 100.0 * a
+    sig = jax.nn.sigmoid(jnp.minimum(bx, 20.0))
+    return jnp.where(bx > 20.0, 1.0, sig)
+
+
+def flatten_core(core) -> list:
+    """Fixed flattening order: [W_i, b_i]*n + [F_i, f_i]*n + [Wout, bout]."""
+    out = []
+    for layer in core["layers"]:
+        out += [layer["w"], layer["b"]]
+    for fc in core["fc_c"]:
+        out += [fc["w"], fc["b"]]
+    out += [core["out"]["w"], core["out"]["b"]]
+    return out
+
+
+def unflatten_core_like(core, flat):
+    it = iter(flat)
+    layers = [{"w": next(it), "b": next(it)} for _ in core["layers"]]
+    fc_c = [{"w": next(it), "b": next(it)} for _ in core["fc_c"]]
+    return {"layers": layers, "fc_c": fc_c,
+            "out": {"w": next(it), "b": next(it)}}
+
+
+# Matmul operand dtype inside the kernels.  bf16 operands + f32
+# accumulation is ONE MXU pass and matches the XLA path numerics (jnp.
+# matmul on f32 inputs defaults to single-pass bf16 on TPU); f32 operands
+# force the 3-pass decomposition (~3x MXU time) and are only used by the
+# exact-equivalence tests (exact=True).
+
+
+def _mm_for(exact: bool):
+    if exact:
+        return lambda x, W: jnp.dot(x, W,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+    # default precision on f32 operands = ONE bf16 MXU pass with f32
+    # accumulation; explicit bf16 casts measured SLOWER (extra VPU work)
+    return lambda x, W: jnp.dot(x, W, preferred_element_type=jnp.float32)
+
+
+def _trunk_fwd_block(e, c, ws, n_blocks: int, skip: int, act_code: int,
+                     save=False, exact=False):
+    """One trunk on a (BN, .) block.  ws = flat list (see flatten_core).
+
+    Returns output (BN, out_dim); if save, also (pre-activations a_i list,
+    layer inputs x_i list, final hidden h)."""
+    _mm = _mm_for(exact)
+    h = e
+    a_saved, x_saved = [], []
+    for i in range(n_blocks):
+        W, b = ws[2 * i], ws[2 * i + 1]
+        F, f = ws[2 * n_blocks + 2 * i], ws[2 * n_blocks + 2 * i + 1]
+        if save:
+            x_saved.append(h)
+        a = _mm(h, W) + b
+        if save:
+            a_saved.append(a)
+        h = _act(act_code, a)
+        h = h + _mm(c, F) + f
+        if i == skip:
+            h = jnp.concatenate([e, h], axis=-1)
+    Wout, bout = ws[-2], ws[-1]
+    out = _mm(h, Wout) + bout
+    if save:
+        return out, (a_saved, x_saved, h)
+    return out
+
+
+def _trunk_bwd_block(g_out, e, c, ws, saved, n_blocks: int, skip: int,
+                     act_code: int, exact=False):
+    """Backward of one trunk block.
+
+    Returns (d_e, d_c, d_ws flat list aligned with ws)."""
+    _mm = _mm_for(exact)
+    a_saved, x_saved, h_last = saved
+    Wout = ws[-2]
+    dWout = _mm(h_last.T, g_out)
+    dbout = jnp.sum(g_out, axis=0)
+    dh = _mm(g_out, Wout.T)
+    d_e = jnp.zeros_like(e)
+    d_c = jnp.zeros_like(c)
+    dW = [None] * (2 * n_blocks)
+    dF = [None] * (2 * n_blocks)
+    for i in range(n_blocks - 1, -1, -1):
+        if i == skip:
+            # h was concat([e, r+fc]) after this block
+            d_e = d_e + dh[:, : e.shape[1]]
+            dh = dh[:, e.shape[1]:]
+        W = ws[2 * i]
+        F = ws[2 * n_blocks + 2 * i]
+        # h_i = act(a_i) + (c F + f)
+        d_c = d_c + _mm(dh, F.T)
+        dF[2 * i] = _mm(c.T, dh)
+        dF[2 * i + 1] = jnp.sum(dh, axis=0)
+        da = dh * _dact(act_code, a_saved[i])
+        dW[2 * i] = _mm(x_saved[i].T, da)
+        dW[2 * i + 1] = jnp.sum(da, axis=0)
+        dh = _mm(da, W.T)
+    d_e = d_e + dh  # layer 0 input is the embedding
+    return d_e, d_c, dW + dF + [dWout, dbout]
+
+
+def _embed_geo(p, Bg):
+    # HIGHEST precision: proj reaches ~1e2 radians (scale-25/32 Fourier
+    # Bs); a bf16 pass loses the phase entirely (see decoder.fourier_
+    # features).  K=3 keeps the 3-pass cost negligible.
+    proj = jnp.dot(2.0 * math.pi * p, Bg,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    return jnp.sin(proj), proj
+
+
+def _embed_col(p, Bc):
+    proj = jnp.dot(2.0 * math.pi * p, Bc,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], -1), proj
+
+
+# ---------------------------------------------------------------------------
+# forward kernels
+
+
+def _fwd_kernel(n_blocks, skip, n_geo, with_color, exact,
+                p_ref, cg_ref, cc_ref, Bg_ref, Bc_ref, *refs):
+    # refs: geo ws (n_geo), col ws (rest-2), then occ_ref, rgb_ref outputs
+    occ_ref = refs[-2]
+    rgb_ref = refs[-1]
+    ws = [r[:] for r in refs[:-2]]
+    gws, cws = ws[:n_geo], ws[n_geo:]
+    p = p_ref[:]
+    eg, _ = _embed_geo(p, Bg_ref[:])
+    occ = _trunk_fwd_block(eg, cg_ref[:], gws, n_blocks, skip, _RELU,
+                           exact=exact)
+    occ_ref[:] = occ
+    if with_color:
+        ec, _ = _embed_col(p, Bc_ref[:])
+        rgb = _trunk_fwd_block(ec, cc_ref[:], cws, n_blocks, skip,
+                               _SOFTPLUS100, exact=exact)
+        rgb_ref[:] = rgb
+    else:
+        rgb_ref[:] = jnp.zeros_like(rgb_ref)
+
+
+def _bwd_kernel(n_blocks, skip, n_geo, with_color, need_col_wgrads, exact,
+                p_ref, cg_ref, cc_ref, Bg_ref, Bc_ref, *refs):
+    """Backward: recompute forward with saves, then backprop.
+
+    refs layout: [geo ws..., col ws..., gocc_ref, grgb_ref,
+                  dp_ref, dcg_ref, dcc_ref, dcol_ws_refs...]
+    Weight-grad outputs use a constant index_map, so the same VMEM block
+    is revisited by every grid step — zero it at step 0, accumulate, and
+    Pallas writes it back once at the end (sequential TPU grid).
+    """
+    idx = 0
+    gws = [r[:] for r in refs[idx: idx + n_geo]]
+    idx += n_geo
+    n_colw = 2 * 2 * n_blocks + 2 if with_color else 0
+    cws = [r[:] for r in refs[idx: idx + n_colw]]
+    idx += n_colw
+    gocc_ref = refs[idx]; idx += 1
+    grgb_ref = refs[idx]; idx += 1
+    dp_ref = refs[idx]; idx += 1
+    dcg_ref = refs[idx]; idx += 1
+    dcc_ref = refs[idx]; idx += 1
+    dcol_refs = refs[idx:]
+
+    p = p_ref[:]
+    cg = cg_ref[:]
+    Bg = Bg_ref[:]
+    eg, proj_g = _embed_geo(p, Bg)
+    occ, saved_g = _trunk_fwd_block(eg, cg, gws, n_blocks, skip, _RELU,
+                                    save=True, exact=exact)
+    d_eg, d_cg, _ = _trunk_bwd_block(gocc_ref[:], eg, cg, gws, saved_g,
+                                     n_blocks, skip, _RELU, exact=exact)
+    dcg_ref[:] = d_cg
+    # d p from sin embedding: dproj = cos(proj) * d_e
+    dproj_g = jnp.cos(proj_g) * d_eg
+    dp = (2.0 * math.pi) * jnp.dot(dproj_g, Bg.T,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    if with_color:
+        cc = cc_ref[:]
+        Bc = Bc_ref[:]
+        ec, proj_c = _embed_col(p, Bc)
+        rgb, saved_c = _trunk_fwd_block(ec, cc, cws, n_blocks, skip,
+                                        _SOFTPLUS100, save=True,
+                                        exact=exact)
+        d_ec, d_cc, d_cws = _trunk_bwd_block(
+            grgb_ref[:], ec, cc, cws, saved_c, n_blocks, skip,
+            _SOFTPLUS100, exact=exact)
+        dcc_ref[:] = d_cc
+        m = proj_c.shape[-1]
+        dproj_c = jnp.cos(proj_c) * d_ec[:, :m] \
+            - jnp.sin(proj_c) * d_ec[:, m:]
+        dp = dp + (2.0 * math.pi) * jnp.dot(
+            dproj_c, Bc.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        if need_col_wgrads:
+            first = pl.program_id(0) == 0
+            for r, d in zip(dcol_refs, d_cws):
+                d2 = d if d.ndim == 2 else d.reshape(1, -1)
+
+                @pl.when(first)
+                def _(r=r, d2=d2):
+                    r[:] = d2
+
+                @pl.when(jnp.logical_not(first))
+                def _(r=r, d2=d2):
+                    r[:] = r[:] + d2
+    else:
+        dcc_ref[:] = jnp.zeros_like(dcc_ref)
+    dp_ref[:] = dp
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+
+def _pad_rows(x, n_pad):
+    if x.shape[0] == n_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((n_pad - x.shape[0],) + x.shape[1:], x.dtype)], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "skip",
+                                             "with_color", "exact"))
+def _fused_fwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
+               n_blocks: int, skip: int, with_color: bool,
+               exact: bool = False):
+    n = p.shape[0]
+    bn = _pick_bn(n)
+    n_pad = -(-n // bn) * bn
+    pp = _pad_rows(p, n_pad)
+    cg = _pad_rows(c_geo, n_pad)
+    cc = _pad_rows(c_col, n_pad)
+    grid = (n_pad // bn,)
+
+    def row_spec(width):
+        return pl.BlockSpec((bn, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    w_all = list(geo_flat) + (list(col_flat) if with_color else [])
+    # biases are 1-D; keep 2-D for VMEM tiling
+    w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
+    kern = functools.partial(_fwd_kernel, n_blocks, skip, len(geo_flat),
+                             with_color, exact)
+    occ, rgb = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[row_spec(3), row_spec(cg.shape[1]), row_spec(cc.shape[1]),
+                  full_spec(Bg), full_spec(Bc)]
+        + [full_spec(w) for w in w2],
+        out_specs=[row_spec(1), row_spec(3)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 3), jnp.float32)],
+        interpret=_interpret(),
+    )(pp, cg, cc, Bg, Bc, *w2)
+    return occ[:n, 0], rgb[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "skip",
+                                             "with_color",
+                                             "need_col_wgrads", "exact"))
+def _fused_bwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
+               g_occ, g_rgb, n_blocks: int, skip: int, with_color: bool,
+               need_col_wgrads: bool, exact: bool = False):
+    n = p.shape[0]
+    bn = _pick_bn(n)
+    n_pad = -(-n // bn) * bn
+    pp = _pad_rows(p, n_pad)
+    cg = _pad_rows(c_geo, n_pad)
+    cc = _pad_rows(c_col, n_pad)
+    go = _pad_rows(g_occ.reshape(-1, 1), n_pad)
+    gr = _pad_rows(g_rgb, n_pad)
+    grid = (n_pad // bn,)
+
+    def row_spec(width):
+        return pl.BlockSpec((bn, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    w_all = list(geo_flat) + (list(col_flat) if with_color else [])
+    w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
+    col2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in col_flat]
+
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),   # dp
+                  jax.ShapeDtypeStruct((n_pad, cg.shape[1]), jnp.float32),
+                  jax.ShapeDtypeStruct((n_pad, cc.shape[1]), jnp.float32)]
+    out_specs = [row_spec(3), row_spec(cg.shape[1]), row_spec(cc.shape[1])]
+    if need_col_wgrads:
+        for w in col2:
+            out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+            out_specs.append(full_spec(w))
+
+    kern = functools.partial(_bwd_kernel, n_blocks, skip, len(geo_flat),
+                             with_color, need_col_wgrads, exact)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[row_spec(3), row_spec(cg.shape[1]), row_spec(cc.shape[1]),
+                  full_spec(Bg), full_spec(Bc)]
+        + [full_spec(w) for w in w2] + [row_spec(1), row_spec(3)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(pp, cg, cc, Bg, Bc, *w2, go, gr)
+    dp = outs[0][:n]
+    dcg = outs[1][:n]
+    dcc = outs[2][:n]
+    if need_col_wgrads:
+        dcol = [d.reshape(w.shape) for d, w in zip(outs[3:], col_flat)]
+    else:
+        dcol = [jnp.zeros_like(w) for w in col_flat]
+    return dp, dcg, dcc, dcol
+
+
+# ---------------------------------------------------------------------------
+# public custom-VJP ops
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
+                      n_blocks: int, skip: int, exact: bool = False):
+    """(occ_logit (n,), raw rgb (n, 3)) for one colour stage.
+
+    Differentiable in p, c_geo, c_col and the colour core weights; the
+    geometry core and both Fourier Bs receive zero cotangents (frozen —
+    see module docstring; callers must not use this path when optimizing
+    them).
+    """
+    Bg, Bc = Bs
+    return _fused_fwd(p, c_geo, c_col, Bg, Bc, tuple(geo_core_flat),
+                      tuple(col_core_flat), n_blocks, skip, True,
+                      exact=exact)
+
+
+def _color_fwd(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
+               n_blocks, skip, exact=False):
+    out = nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat,
+                            Bs, n_blocks, skip, exact)
+    return out, (p, c_geo, c_col, geo_core_flat, col_core_flat, Bs)
+
+
+def _color_bwd(n_blocks, skip, exact, res, g):
+    p, c_geo, c_col, geo_flat, col_flat, (Bg, Bc) = res
+    g_occ, g_rgb = g
+    dp, dcg, dcc, dcol = _fused_bwd(
+        p, c_geo, c_col, Bg, Bc, tuple(geo_flat), tuple(col_flat),
+        g_occ, g_rgb, n_blocks, skip, True, True, exact=exact)
+    dgeo = jax.tree.map(jnp.zeros_like, geo_flat)
+    dcol = jax.tree.unflatten(jax.tree.structure(col_flat), dcol)
+    return (dp, dcg, dcc, dgeo, dcol,
+            (jnp.zeros_like(Bg), jnp.zeros_like(Bc)))
+
+
+nicer_fused_color.defvjp(_color_fwd, _color_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def nicer_fused_geo(p, c_geo, geo_core_flat, Bg, n_blocks: int, skip: int,
+                    exact: bool = False):
+    """occ_logit (n,) for one geometry stage.  Differentiable in p and
+    c_geo only (geometry core + B frozen, see module docstring)."""
+    zc = jnp.zeros((p.shape[0], c_geo.shape[1]), jnp.float32)
+    occ, _ = _fused_fwd(p, c_geo, zc, Bg, Bg, tuple(geo_core_flat), (),
+                        n_blocks, skip, False, exact=exact)
+    return occ
+
+
+def _geo_fwd(p, c_geo, geo_core_flat, Bg, n_blocks, skip, exact=False):
+    occ = nicer_fused_geo(p, c_geo, geo_core_flat, Bg, n_blocks, skip,
+                          exact)
+    return occ, (p, c_geo, geo_core_flat, Bg)
+
+
+def _geo_bwd(n_blocks, skip, exact, res, g_occ):
+    p, c_geo, geo_flat, Bg = res
+    zc = jnp.zeros((p.shape[0], c_geo.shape[1]), jnp.float32)
+    zg = jnp.zeros((p.shape[0], 3), jnp.float32)
+    dp, dcg, _, _ = _fused_bwd(
+        p, c_geo, zc, Bg, Bg, tuple(geo_flat), (), g_occ, zg,
+        n_blocks, skip, False, False, exact=exact)
+    return dp, dcg, jax.tree.map(jnp.zeros_like, geo_flat), \
+        jnp.zeros_like(Bg)
+
+
+nicer_fused_geo.defvjp(_geo_fwd, _geo_bwd)

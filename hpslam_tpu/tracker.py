@@ -16,6 +16,7 @@ latent and exposure MLPs when ``encode_exposure``) receives updates.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, Optional
 
@@ -35,7 +36,7 @@ from .renderer import RenderConfig, render_rays
     static_argnames=("mcfg", "rcfg", "pixels", "iters_mid", "iters_fine",
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
-                     "resample_stages", "ray_cand_k"))
+                     "resample_stages", "ray_cand_k", "knn_probe"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -47,7 +48,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 W: int, fx: float, fy: float, cx: float, cy: float,
                 cam_lr: float, separate_lr: bool, use_exposure: bool,
                 w_color: float, use_color: bool, handle_dynamic: bool,
-                resample_stages: int = 1, ray_cand_k: int = 24):
+                resample_stages: int = 1, ray_cand_k: int = 0,
+                knn_probe: int = 16):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -172,7 +174,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         if ray_cand_k <= 0:
             p = (rays_o[:, None] + rays_d[:, None] * z[..., None]
                  ).reshape(-1, 3)
-            return Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num)
+            return Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
+                                 probe=knn_probe)
         return Knn.knn_ray(rays_o, rays_d, z, *tile_index,
                            k=rcfg.nn_num, kc=ray_cand_k)
 
@@ -243,6 +246,7 @@ class Tracker:
         # per-sample distance+select over those wider sets outweighs the
         # amortised tile scoring/gathers (89 vs 63 ms at 25k samples).
         self.ray_cand_k = int(t.get("ray_cand_k", 0))
+        self.knn_probe = int(t.get("knn_probe", 16))
         self.gt_camera = t["gt_camera"]
         self.depth_limit = 5.0 if t["depth_limit"] else None
         self.ratio_iter_mid = 0.5  # Tracker.py:40
@@ -303,8 +307,14 @@ class Tracker:
         iters_mid = int(self.iters * self.ratio_iter_mid)
         iters_fine = self.iters - iters_mid
 
+        # fused_mlp disabled here: the fused trunks compile and validate
+        # standalone at tracking shapes (tests/test_fused_mlp.py), but the
+        # FULL track_frame program with the Pallas custom calls crashes the
+        # TPU compile helper at pixels=5000 (works at 1000; opaque HTTP 500
+        # through the tunnel).  Mapper keeps them — it is the dominant cost.
+        mcfg_run = dataclasses.replace(slam.mcfg, fused_mlp=False)
         best_cam, best_loss, losses, op = track_frame(
-            params, slam.mcfg, self.rcfg,
+            params, mcfg_run, self.rcfg,
             jnp.asarray(cam_init, jnp.float32), key,
             frame.color_j, frame.depth_j,
             jnp.asarray(r_query["mid"]), jnp.asarray(r_query["fine"]),
@@ -320,7 +330,7 @@ class Tracker:
             use_exposure=self.use_exposure, w_color=self.w_color,
             use_color=self.use_color, handle_dynamic=self.handle_dynamic,
             resample_stages=self.resample_stages,
-            ray_cand_k=self.ray_cand_k)
+            ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

@@ -1,0 +1,174 @@
+"""Pallas-fused NICER trunks vs the reference XLA path (values + grads)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpslam_tpu.models import decoder as Dec
+from hpslam_tpu.ops import fused_mlp as FM
+
+
+@pytest.fixture
+def setup(rng):
+    cfg = Dec.ModelConfig()
+    params = Dec.init_nicer(jax.random.PRNGKey(3), cfg)
+    n = 700  # not a multiple of the 512-row block (exercises padding)
+    p = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    cg = jnp.asarray(rng.normal(0, 0.3, (n, cfg.c_dim)).astype(np.float32))
+    cc = jnp.asarray(rng.normal(0, 0.3, (n, cfg.c_dim)).astype(np.float32))
+    return cfg, params, p, cg, cc
+
+
+def _ref_color(params, cfg, p, cg, cc, col_core):
+    geo = params["geo_fine"]
+    col = dict(params["col_fine"], core=col_core)
+    occ = Dec.apply_geo(geo, cfg, p, cg)
+    emb = Dec.fourier_features(p, col["B"], concat_cos=True)
+    rgb = Dec._mlp_trunk(col["core"], cfg, emb, cc, Dec.softplus100)
+    return occ, rgb
+
+
+def test_fused_color_forward_matches(setup):
+    cfg, params, p, cg, cc = setup
+    geo_flat = tuple(FM.flatten_core(params["geo_fine"]["core"]))
+    col_flat = tuple(FM.flatten_core(params["col_fine"]["core"]))
+    occ_f, rgb_f = FM.nicer_fused_color(
+        p, cg, cc, geo_flat, col_flat,
+        (params["geo_fine"]["B"], params["col_fine"]["B"]),
+        cfg.n_blocks, cfg.skip, True)
+    occ_r, rgb_r = _ref_color(params, cfg, p, cg, cc,
+                              params["col_fine"]["core"])
+    np.testing.assert_allclose(np.asarray(occ_f), np.asarray(occ_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_color_grads_match(setup):
+    cfg, params, p, cg, cc = setup
+    geo_flat = tuple(FM.flatten_core(params["geo_fine"]["core"]))
+    col_core = params["col_fine"]["core"]
+    Bs = (params["geo_fine"]["B"], params["col_fine"]["B"])
+
+    def loss_fused(p_, cg_, cc_, core):
+        col_flat = tuple(FM.flatten_core(core))
+        occ, rgb = FM.nicer_fused_color(p_, cg_, cc_, geo_flat, col_flat,
+                                        Bs, cfg.n_blocks, cfg.skip, True)
+        return jnp.sum(jnp.sin(occ)) + jnp.sum(jnp.cos(rgb))
+
+    def loss_ref(p_, cg_, cc_, core):
+        occ, rgb = _ref_color(params, cfg, p_, cg_, cc_, core)
+        return jnp.sum(jnp.sin(occ)) + jnp.sum(jnp.cos(rgb))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(p, cg, cc, col_core)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(p, cg, cc, col_core)
+    for a, b, name in [(gf[0], gr[0], "dp"), (gf[1], gr[1], "dc_geo"),
+                       (gf[2], gr[2], "dc_col")]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+    fa = jax.tree.leaves(gf[3])
+    fb = jax.tree.leaves(gr[3])
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg="d col core")
+
+
+def test_fused_geo_matches(setup):
+    cfg, params, p, cg, cc = setup
+    geo_flat = tuple(FM.flatten_core(params["geo_fine"]["core"]))
+    Bg = params["geo_fine"]["B"]
+
+    def loss_fused(p_, cg_):
+        occ = FM.nicer_fused_geo(p_, cg_, geo_flat, Bg, cfg.n_blocks,
+                                 cfg.skip, True)
+        return jnp.sum(jnp.sin(occ))
+
+    def loss_ref(p_, cg_):
+        occ = Dec.apply_geo(params["geo_fine"], cfg, p_, cg_)
+        return jnp.sum(jnp.sin(occ))
+
+    np.testing.assert_allclose(float(loss_fused(p, cg)),
+                               float(loss_ref(p, cg)), rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(p, cg)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(p, cg)
+    np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gr[0]),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gr[1]),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_map_scan_fused_matches_unfused(rng):
+    """The union-path mapping scan with fused trunks must track the XLA
+    path's loss trajectory (same schedule, same PRNG)."""
+    import dataclasses as dc
+    from tests.test_engines import small_cfg, wall_level
+    from hpslam_tpu.mapper import build_pixel_union_cache, map_scan
+    from hpslam_tpu.ops import knn as K
+    from hpslam_tpu.ops import optim as Opt
+    from hpslam_tpu import renderer as R
+
+    mcfg = small_cfg()
+    rcfg = R.RenderConfig(sample_near_pcl=False,
+                          near_end_surface=0.96, far_end_surface=1.04)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+    H, W, F = 24, 32, 2
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                     -np.ones_like(ii, float)], -1)
+    depth = (2.0 / -dirs[..., 2]).astype(np.float32)
+    color_img = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    colors = jnp.asarray(np.broadcast_to(color_img, (F, H, W, 3)).copy())
+    depths = jnp.asarray(np.broadcast_to(depth, (F, H, W)).copy())
+    c2ws = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (F, 1, 1)))
+    rq = jnp.asarray(np.full((F, H, W), 0.4, np.float32))
+    pools = jnp.asarray(np.broadcast_to(
+        np.arange(H * W, dtype=np.int32), (F, H * W)).copy())
+    pool_lens = jnp.asarray(np.full((F,), H * W, np.int32))
+    expo = jnp.asarray(np.zeros((F, 8), np.float32))
+    idx = K.build_tiles(pos, count)
+    S_, k_ = rcfg.N_surface, mcfg.nn_num
+    key = jax.random.PRNGKey(7)
+
+    def run(fused: bool):
+        mc = dc.replace(mcfg, fused_mlp=fused)
+        op = {"feat": jnp.concatenate([geo, col], 1)}
+        ost = Opt.init(op)
+        cp, uids, Wm, pm, cconst = build_pixel_union_cache(
+            key, depths, c2ws, pools, pool_lens, rq, idx,
+            jnp.int32(pos.shape[0]), P=128, S=S_, k=k_, u_max=S_ * k_,
+            H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+            near_surface=0.96, far_surface=1.04,
+            min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
+            colors=colors)
+        n_it = 4
+        stage_ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
+        lr_table = jnp.tile(jnp.asarray([[0.0, 0.03, 0.005, 0.0]],
+                                        jnp.float32), (n_it, 1))
+        op, ost2, losses = map_scan(
+            params, mc, rcfg, op, ost, key,
+            colors, depths, c2ws, rq,
+            cp, None, uids, expo,
+            pos, count,
+            stage_ids, lr_table, jnp.int32(depths.shape[0]),
+            level="fine", n_rays=64, F_max=depths.shape[0], H=H, W=W,
+            fx=fx, fy=fy, cx=cx, cy=cy,
+            n_iters=n_it, use_exposure=False,
+            opt_color_dec=False, opt_geo_dec=False, w_color=0.1,
+            use_union=True, cacheWm=Wm, cachePmask=pm, cache_const=cconst)
+        return np.asarray(losses), np.asarray(op["feat"])
+
+    l_ref, f_ref = run(False)
+    l_fus, f_fus = run(True)
+    # production fused kernels use single-pass bf16 matmuls (TPU default
+    # for the XLA path too); on CPU the reference path is f32, so compare
+    # at bf16-trajectory tolerance.  A handful of features see Adam
+    # sign-flips on noise-level gradients (each worth ~lr per step), so
+    # the table comparison is quantile-based.
+    np.testing.assert_allclose(l_fus, l_ref, rtol=3e-3, atol=3e-3)
+    diff = np.abs(f_fus - f_ref)
+    assert np.quantile(diff, 0.99) < 5e-3, np.quantile(diff, 0.99)
+    assert diff.max() < 0.2, diff.max()

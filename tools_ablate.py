@@ -56,14 +56,28 @@ def main():
         ("cacheP8000", {"mapping.pixels_knn_cache": 8000}),
         ("union8", {"mapping.union_size": 8}),
         ("union40", {"mapping.union_size": 40}),  # = S*k, no union drops
+        ("bf16", {"model.mm_bf16": True}),
+        ("bf16_resample2", {"model.mm_bf16": True,
+                            "tracking.resample_stages": 2}),
+        # fused Pallas trunks are ON by default on TPU ('auto'); measure
+        # the quality delta vs the XLA path
+        ("fused_off", {"model.fused_mlp": False}),
+        # tile-index probe count (recall 0.969/0.993/0.995 at 8/12/16 on
+        # the wall fixture; searches are ~3.5x faster at probe=8)
+        ("probe8", {"tracking.knn_probe": 8, "mapping.knn_probe": 8}),
+        ("probe12", {"tracking.knn_probe": 12, "mapping.knn_probe": 12}),
     ]
+    only = sys.argv[1:] if len(sys.argv) > 1 else None
     rows = []
     for name, ov in variants:
+        if only and name not in only:
+            continue
         print(f"=== {name}", flush=True)
         rows.append(run_variant(name, ov))
         print(json.dumps(rows[-1]), flush=True)
 
-    with open("ABLATIONS.md", "w") as f:
+    mode = "a" if only else "w"
+    with open("ABLATIONS.md", mode) as f:
         f.write("# Ablations — TPU-design shortcuts vs reference semantics\n\n")
         f.write("30-frame synthetic sequence (configs/Synthetic/synth_tpu"
                 ".yaml), one TPU v5e chip.  Produced by tools_ablate.py.\n\n")

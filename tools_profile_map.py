@@ -71,10 +71,10 @@ def main():
 
     def run(tag, n_rays=MAP_RAYS, u_max=16, stage=1, use_exposure=True,
             opt_color_dec=True, U_override=None, n_iters=N_IT,
-            w_color=0.1, bf16=False):
+            w_color=0.1, bf16=False, fused=False):
         mc = Dec.ModelConfig(encode_exposure=True,
                              encode_rel_pos_in_col=False,
-                             mm_bf16=bf16)
+                             mm_bf16=bf16, fused_mlp=fused)
         cache_pix, uids, Wm, pmask, cache_const = build_pixel_union_cache(
             key, depths, c2ws, pools, pool_lens, rq_stack,
             index, jnp.int32(CAP_FINE),
@@ -111,7 +111,8 @@ def main():
                 n_iters=n_iters, use_exposure=use_exposure,
                 opt_color_dec=opt_color_dec, opt_geo_dec=False,
                 w_color=w_color, use_union=True, cacheWm=Wm,
-                cachePmask=pmask, cache_const=cache_const)
+                cachePmask=pmask, cache_const=cache_const,
+                geo_iters=0 if stage else n_iters)
 
         # warmup/compile (donated args: rebuild)
         o2, s2, losses = go(jax.tree.map(jnp.copy, op),
@@ -136,6 +137,12 @@ def main():
         ("color u8 no-dec-opt", dict(u_max=8, opt_color_dec=False)),
         ("color u8 no-expo", dict(u_max=8, use_exposure=False)),
         ("color u8 2500 rays", dict(u_max=8, n_rays=2500)),
+        ("color u8 bf16", dict(u_max=8, bf16=True)),
+        ("geometry u8 bf16", dict(stage=0, u_max=8, bf16=True)),
+        ("color u8 bf16 no-dec-opt", dict(u_max=8, bf16=True, opt_color_dec=False)),
+        ("color u8 fused", dict(u_max=8, fused=True)),
+        ("geometry u8 fused", dict(stage=0, u_max=8, fused=True)),
+        ("color u8 fused no-dec-opt", dict(u_max=8, fused=True, opt_color_dec=False)),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for tag, kw in variants:

@@ -70,7 +70,8 @@ def main():
                                    compact_scene, count_unique, unique_bucket)
 
     rng = np.random.default_rng(1219)
-    mcfg = Dec.ModelConfig(encode_exposure=True, encode_rel_pos_in_col=False)
+    mcfg = Dec.ModelConfig(encode_exposure=True, encode_rel_pos_in_col=False,
+                           fused_mlp=(which == "map_fused"))
     rcfg = RenderConfig(near_end_surface=0.96, far_end_surface=1.04,
                         sample_near_pcl=False)
     params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
@@ -128,7 +129,7 @@ def main():
             n_iters=N_IT, use_exposure=True,
             opt_color_dec=True, opt_geo_dec=False,
             w_color=0.1, use_union=True, cacheWm=Wm,
-            cachePmask=pmask, cache_const=cache_const)
+            cachePmask=pmask, cache_const=cache_const, geo_iters=0)
 
     import jax.tree as jt
     o2, s2, losses = go(jt.map(jnp.copy, op), jt.map(jnp.copy, ost))

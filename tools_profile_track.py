@@ -63,9 +63,10 @@ def main():
     pool_j = jnp.asarray(pool)
 
     def run(tag, pixels=5000, iters=100, resample=2, use_exposure=True,
-            use_color=True, bf16=False):
+            use_color=True, bf16=False, fused=False):
         mc = Dec.ModelConfig(encode_exposure=True,
-                             encode_rel_pos_in_col=False, mm_bf16=bf16)
+                             encode_rel_pos_in_col=False, mm_bf16=bf16,
+                             fused_mlp=fused)
 
         def go(key):
             out = track_frame(
@@ -114,6 +115,12 @@ def main():
         ("iters=102 r1 bf16 px=2500", dict(iters=102, resample=1, bf16=True, pixels=2500)),
         ("iters=2 r1 bf16 nocolor px=2500", dict(iters=2, resample=1, bf16=True, use_color=False, pixels=2500)),
         ("iters=2 r1 bf16 noexpo", dict(iters=2, resample=1, bf16=True, use_exposure=False)),
+        ("prod fused (resample=2)", dict(fused=True)),
+        ("iters=102 r1 fused", dict(iters=102, resample=1, fused=True)),
+        ("iters=2 r1 fused", dict(iters=2, resample=1, fused=True)),
+        ("i2r1 fused noexpo", dict(iters=2, resample=1, fused=True, use_exposure=False)),
+        ("i2r1 fused px1000", dict(iters=2, resample=1, fused=True, pixels=1000)),
+        ("i2r1 fused nocolor", dict(iters=2, resample=1, fused=True, use_color=False)),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for tag, kw in variants:
