@@ -82,7 +82,8 @@ def main():
     from hpslam_tpu.tracker import track_frame
     from hpslam_tpu.mapper import (map_scan, build_schedule,
                                    build_pixel_union_cache, compact_scene,
-                                   count_unique, unique_bucket)
+                                   count_unique, unique_bucket,
+                                   pack_union_cache)
 
     rng = np.random.default_rng(1219)
     mcfg = Dec.ModelConfig(encode_exposure=True,
@@ -107,7 +108,7 @@ def main():
         iters_fine=TRACK_ITERS - TRACK_ITERS // 2, W=W,
         fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
         use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True,
-        resample_stages=2)  # product default (ABLATIONS.md)
+        resample_stages=2, knn_probe=12)  # product default (ABLATIONS.md)
 
     # tile indexes are built once per mapping frame in the product
     # (NeuralPointCloud.index); here positions are static
@@ -171,10 +172,11 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 near_surface=0.96, far_surface=1.04,
                 min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
-                colors=colors)
+                colors=colors, knn_probe=12)
             U = unique_bucket(int(count_unique(uids)), arr[0].shape[0])
             uniq, uids, pos_c, geo_c, col_c = compact_scene(
                 uids, arr[0], arr[2], arr[3], U)
+            packed = pack_union_cache(cache_const, Wm, pmask, uids)
             op = {"feat": jnp.concatenate([geo_c, col_c], 1),
                   "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
                   "expo_feat": jnp.asarray(expo)}
@@ -191,8 +193,7 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 n_iters=int(stage_ids.size), use_exposure=True,
                 opt_color_dec=True, opt_geo_dec=False, w_color=0.1,
-                use_union=True, cacheWm=Wm, cachePmask=pmask,
-                cache_const=cache_const,
+                use_union=True, cache_packed=packed,
                 geo_iters=int(np.sum(np.asarray(stage_ids) == 0)))
             arr0 = level_arrays[lvl]
             Cd = mcfg.c_dim

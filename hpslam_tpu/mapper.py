@@ -262,6 +262,31 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
 
 
 @jax.jit
+def pack_union_cache(const, Wm, pmask, uids):
+    """Pack every per-pixel phase-constant of the union cache into ONE
+    flat f32 row: [z S | pts 3S | rays_d 3 | d_gt 1 | c_gt 3 | pmask S |
+    Wm S*u | uids u (int32 bitcast)].
+
+    One row-gather per ray then feeds the whole optimizer iteration —
+    the eight separate table gathers it replaces were pure per-op launch
+    latency (the iteration is op-count bound, see ops/fused_mlp.py).
+    Call AFTER compact_scene so the packed uids are compact-table rows.
+    """
+    FP, S = const["z"].shape
+    u = uids.shape[-1]
+    return jnp.concatenate([
+        const["z"],
+        const["pts"].reshape(FP, S * 3),
+        const["rays_d"],
+        const["d_gt"][:, None],
+        const["c_gt"],
+        pmask.reshape(FP, S).astype(jnp.float32),
+        Wm.reshape(FP, S * u),
+        jax.lax.bitcast_convert_type(uids.reshape(FP, u), jnp.float32),
+    ], axis=1)
+
+
+@jax.jit
 def count_unique(cacheI):
     s = jnp.sort(cacheI.reshape(-1))
     return 1 + jnp.sum(s[1:] != s[:-1])
@@ -322,8 +347,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
              opt_geo_dec: bool, w_color: float, use_ba: bool = False,
              cam_trainable=None, use_union: bool = False,
-             cacheWm=None, cachePmask=None, cache_const=None,
-             geo_iters: int = -1):
+             cache_packed=None, geo_iters: int = -1):
     """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
     stages).
 
@@ -346,6 +370,11 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     lr_table:  (n_iters, 4) per-group LRs [decoders, geo, col, BA_cam]
     cam_trainable: (F_max,) bool — BA optimizes all window poses except the
     oldest keyframe and padding (Mapper.py:574-576)
+    cache_packed: union path only — ONE flat (F_max*P, D) table of every
+    per-pixel phase-constant incl. the (compact-remapped) union ids
+    (see pack_union_cache); cacheI is still passed for its static u_max
+    geo_iters: host-known count of leading geometry iterations; >= 0
+    selects the per-stage static scans (no per-iteration lax.switch)
 
     Returns (opt_params, opt_state, losses (n_iters, 2) [geo, color]).
     """
@@ -369,12 +398,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
     P = cache_pix.shape[1]
     if use_union:
-        # flat (F*P, ...) views of the per-pixel union cache + constants
         u_sz = cacheI.shape[-1]
-        S_c = cacheWm.shape[-2]
-        uids_t = cacheI.reshape(F_max * P, u_sz)
-        Wm_t = cacheWm.reshape(F_max * P, S_c, u_sz)
-        pm_t = cachePmask.reshape(F_max * P, S_c)
+        S_c = rcfg.N_surface
 
     def sample_rays(k, op):
         """n_rays spread over the F_actual active frames, drawn from the
@@ -388,11 +413,20 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                % F_actual)
         slot = jax.random.randint(k, (n_rays,), 0, P)
         if use_union:
-            flat = fid * P + slot
-            cc = cache_const
-            kcache = (uids_t[flat], Wm_t[flat], pm_t[flat])
-            return (fid, cc["rays_d"][flat], cc["d_gt"][flat],
-                    cc["c_gt"][flat], cc["z"][flat], cc["pts"][flat], kcache)
+            # ONE packed-row gather feeds the whole iteration (see
+            # pack_union_cache); slicing a gathered row is sequential reads
+            row = cache_packed[fid * P + slot]        # (n, D)
+            S_, u = S_c, u_sz
+            o = 0
+            z = row[:, o:o + S_]; o += S_
+            pts = row[:, o:o + 3 * S_].reshape(-1, S_, 3); o += 3 * S_
+            rays_d = row[:, o:o + 3]; o += 3
+            d_gt = row[:, o]; o += 1
+            c_gt = row[:, o:o + 3]; o += 3
+            pm = row[:, o:o + S_] > 0.5; o += S_
+            Wm = row[:, o:o + S_ * u].reshape(-1, S_, u); o += S_ * u
+            uids = jax.lax.bitcast_convert_type(row[:, o:o + u], jnp.int32)
+            return fid, rays_d, d_gt, c_gt, z, pts, (uids, Wm, pm)
         idx = cache_pix[fid, slot]
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
@@ -1001,7 +1035,7 @@ class Mapper:
                         weighting=slam.mcfg.weighting,
                         colors=colors, fix_interval=self.rcfg.fix_interval,
                         knn_probe=int(self.cfg["mapping"].get("knn_probe",
-                                                              16)))
+                                                              12)))
             else:
                 cache_pix, cacheD, cacheI = build_pixel_knn_cache(
                     keys[2 + phase_i], depths_j, c2ws_j, pools_j,
@@ -1017,7 +1051,10 @@ class Mapper:
             U = unique_bucket(int(count_unique(cacheI)), lv.capacity)
             uniq, cacheI, pos_c, geo_c, col_c = compact_scene(
                 cacheI, lv.pos, lv.geo, lv.col, U)
+            cache_packed = None
             if use_union:
+                cache_packed = pack_union_cache(cache_const, cacheWm,
+                                                cachePmask, cacheI)
                 opt_params = {"feat": jnp.concatenate([geo_c, col_c], 1)}
             else:
                 opt_params = {"geo": geo_c, "col": col_c}
@@ -1065,8 +1102,7 @@ class Mapper:
                 w_color=self.w_color, use_ba=use_ba,
                 cam_trainable=(jnp.asarray(cam_trainable) if use_ba
                                else None),
-                use_union=use_union, cacheWm=cacheWm,
-                cachePmask=cachePmask, cache_const=cache_const, **common)
+                use_union=use_union, cache_packed=cache_packed, **common)
 
             if use_union:
                 Cd = slam.mcfg.c_dim

@@ -42,11 +42,14 @@ _RELU, _SOFTPLUS100 = 0, 1
 _BN = 512  # fallback rows per grid step (used when padding is needed)
 
 
-def _pick_bn(n: int) -> int:
-    """Largest row-block <= 1024 that divides n and is a multiple of 8 —
+def _pick_bn(n: int, cap: int = 1024) -> int:
+    """Largest row-block <= cap that divides n and is a multiple of 8 —
     avoids the pad+slice HBM copies of a ragged last block (measured
-    ~0.8 ms/iter at the mapping operating point)."""
-    for bn in range(min(1024, n), 7, -1):
+    ~0.8 ms/iter at the mapping operating point).  The forward kernel
+    saves no activations, so it can take larger blocks (better MXU
+    utilisation) than the backward (VMEM-bound by the saved layer
+    inputs)."""
+    for bn in range(min(cap, n), 7, -1):
         if n % bn == 0 and bn % 8 == 0:
             return bn
     return _BN
@@ -304,7 +307,7 @@ def _fused_fwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
                n_blocks: int, skip: int, with_color: bool,
                exact: bool = False):
     n = p.shape[0]
-    bn = _pick_bn(n)
+    bn = _pick_bn(n, cap=2048)
     n_pad = -(-n // bn) * bn
     pp = _pad_rows(p, n_pad)
     cg = _pad_rows(c_geo, n_pad)

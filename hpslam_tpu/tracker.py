@@ -246,7 +246,7 @@ class Tracker:
         # per-sample distance+select over those wider sets outweighs the
         # amortised tile scoring/gathers (89 vs 63 ms at 25k samples).
         self.ray_cand_k = int(t.get("ray_cand_k", 0))
-        self.knn_probe = int(t.get("knn_probe", 16))
+        self.knn_probe = int(t.get("knn_probe", 12))
         self.gt_camera = t["gt_camera"]
         self.depth_limit = 5.0 if t["depth_limit"] else None
         self.ratio_iter_mid = 0.5  # Tracker.py:40

@@ -334,7 +334,8 @@ def test_map_scan_ba_updates_poses(rng):
 def test_map_scan_union_matches_reference_path(rng):
     """With u_max = S*k (no union drops) the union fast path computes the
     same loss trajectory as the per-sample kNN-cache path."""
-    from hpslam_tpu.mapper import build_pixel_union_cache, map_scan as MS
+    from hpslam_tpu.mapper import (build_pixel_union_cache,
+                                   pack_union_cache, map_scan as MS)
     mcfg = small_cfg()
     # near/far must match the cache build below: the union cache
     # precomputes z values / sample positions at build time
@@ -382,9 +383,9 @@ def test_map_scan_union_matches_reference_path(rng):
                 near_surface=0.96, far_surface=1.04,
                 min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
                 colors=colors)
+            packed = pack_union_cache(cconst, Wm, pm, uids)
             kw = dict(cache_pix=cp, cacheD=None, cacheI=uids,
-                      use_union=True, cacheWm=Wm, cachePmask=pm,
-                      cache_const=cconst)
+                      use_union=True, cache_packed=packed)
         else:
             cp, cd, ci = build_pixel_knn_cache(
                 key, depths, c2ws, pools, pool_lens, idx,

@@ -103,7 +103,8 @@ def test_map_scan_fused_matches_unfused(rng):
     path's loss trajectory (same schedule, same PRNG)."""
     import dataclasses as dc
     from tests.test_engines import small_cfg, wall_level
-    from hpslam_tpu.mapper import build_pixel_union_cache, map_scan
+    from hpslam_tpu.mapper import (build_pixel_union_cache,
+                                   pack_union_cache, map_scan)
     from hpslam_tpu.ops import knn as K
     from hpslam_tpu.ops import optim as Opt
     from hpslam_tpu import renderer as R
@@ -144,6 +145,7 @@ def test_map_scan_fused_matches_unfused(rng):
             near_surface=0.96, far_surface=1.04,
             min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
             colors=colors)
+        packed = pack_union_cache(cconst, Wm, pm, uids)
         n_it = 4
         stage_ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
         lr_table = jnp.tile(jnp.asarray([[0.0, 0.03, 0.005, 0.0]],
@@ -158,7 +160,7 @@ def test_map_scan_fused_matches_unfused(rng):
             fx=fx, fy=fy, cx=cx, cy=cy,
             n_iters=n_it, use_exposure=False,
             opt_color_dec=False, opt_geo_dec=False, w_color=0.1,
-            use_union=True, cacheWm=Wm, cachePmask=pm, cache_const=cconst)
+            use_union=True, cache_packed=packed)
         return np.asarray(losses), np.asarray(op["feat"])
 
     l_ref, f_ref = run(False)

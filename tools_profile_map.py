@@ -32,7 +32,8 @@ def main():
     from hpslam_tpu.ops import optim as Opt
     from hpslam_tpu.renderer import RenderConfig
     from hpslam_tpu.mapper import (map_scan, build_pixel_union_cache,
-                                   compact_scene, count_unique, unique_bucket)
+                                   compact_scene, count_unique, unique_bucket,
+                                   pack_union_cache)
 
     rng = np.random.default_rng(1219)
     mcfg = Dec.ModelConfig(encode_exposure=True, encode_rel_pos_in_col=False)
@@ -86,6 +87,7 @@ def main():
         U = U_override or unique_bucket(int(count_unique(uids)), CAP_FINE)
         uniq, uids_c, pos_c, geo_c, col_c = compact_scene(
             uids, pos_j, jnp.asarray(geo), jnp.asarray(col), U)
+        packed = pack_union_cache(cache_const, Wm, pmask, uids_c)
         # NOTE map_scan donates opt_params/opt_state — never put shared
         # arrays (params[...]) in op without copying.
         op = {"feat": jnp.concatenate([geo_c, col_c], 1)}
@@ -110,8 +112,7 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY,
                 n_iters=n_iters, use_exposure=use_exposure,
                 opt_color_dec=opt_color_dec, opt_geo_dec=False,
-                w_color=w_color, use_union=True, cacheWm=Wm,
-                cachePmask=pmask, cache_const=cache_const,
+                w_color=w_color, use_union=True, cache_packed=packed,
                 geo_iters=0 if stage else n_iters)
 
         # warmup/compile (donated args: rebuild)

@@ -67,7 +67,8 @@ def main():
     from hpslam_tpu.ops import optim as Opt
     from hpslam_tpu.renderer import RenderConfig
     from hpslam_tpu.mapper import (map_scan, build_pixel_union_cache,
-                                   compact_scene, count_unique, unique_bucket)
+                                   compact_scene, count_unique, unique_bucket,
+                                   pack_union_cache)
 
     rng = np.random.default_rng(1219)
     mcfg = Dec.ModelConfig(encode_exposure=True, encode_rel_pos_in_col=False,
@@ -109,6 +110,7 @@ def main():
     U = unique_bucket(int(count_unique(uids)), CAP_FINE)
     uniq, uids_c, pos_c, geo_c, col_c = compact_scene(
         uids, pos_j, jnp.asarray(geo), jnp.asarray(col), U)
+    packed = pack_union_cache(cache_const, Wm, pmask, uids_c)
     op = {"feat": jnp.concatenate([geo_c, col_c], 1),
           "dec": {"col_fine": jax.tree.map(jnp.copy, params["col_fine"])},
           "expo_feat": jnp.zeros((8,), jnp.float32)}
@@ -128,8 +130,7 @@ def main():
             fx=FX, fy=FY, cx=CX, cy=CY,
             n_iters=N_IT, use_exposure=True,
             opt_color_dec=True, opt_geo_dec=False,
-            w_color=0.1, use_union=True, cacheWm=Wm,
-            cachePmask=pmask, cache_const=cache_const, geo_iters=0)
+            w_color=0.1, use_union=True, cache_packed=packed, geo_iters=0)
 
     import jax.tree as jt
     o2, s2, losses = go(jt.map(jnp.copy, op), jt.map(jnp.copy, ost))
