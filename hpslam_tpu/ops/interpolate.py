@@ -150,6 +150,33 @@ def _union_gather_bwd(res, dC):
 union_gather.defvjp(_union_gather_fwd, _union_gather_bwd)
 
 
+def union_slots(ids_sk, w_sk, u_max: int, sentinel):
+    """Per-ray neighbour-union slot assignment (vmap over rays).
+
+    ids_sk: (S*k,) global neighbour ids of one ray's samples;
+    w_sk:   (S*k,) ranking weights (|w|; only the ORDER matters);
+    Returns (uids (u_max,) global ids of the kept union, sentinel-padded;
+    L (S*k,) int32 slot of each original neighbour in the union, u_max
+    where dropped).  Same ranking rule as the mapper's union cache
+    (top-u_max by total weight, ABLATIONS.md union8/union40: ATE-neutral).
+    """
+    SK = ids_sk.shape[0]
+    order = jnp.argsort(ids_sk)
+    sid = ids_sk[order]
+    newgrp = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    slot = jnp.cumsum(newgrp) - 1
+    tw = jax.ops.segment_sum(jnp.abs(w_sk)[order], slot, num_segments=SK)
+    uid_slot = jnp.zeros((SK,), ids_sk.dtype).at[slot].max(sid)
+    twk, sel = jax.lax.top_k(tw, u_max)
+    pos = jnp.full((SK,), u_max, jnp.int32).at[sel].set(
+        jnp.arange(u_max, dtype=jnp.int32))
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(SK, dtype=order.dtype))
+    L = pos[slot[inv]]
+    uids = jnp.where(twk > 0, uid_slot[sel], sentinel)
+    return uids.astype(jnp.int32), L
+
+
 def weighted_gather(feats, I, weights, has_neighbors, fill=None):
     """c = sum_k w_k * feats[I_k]; rows without neighbours get ``fill``
     (zeros by default — the reference uses N(0, 0.01) noise, decoder.py:262-263,

@@ -190,6 +190,25 @@ def knn_segmin(query: jnp.ndarray, points: jnp.ndarray, count: jnp.ndarray,
 # O(N) per-insertion retrain (neural_point.py:325), rebuilding is one
 # device-side sort, and the search is recall-tunable via ``probe``.
 
+def topk_extract(d2: jnp.ndarray, k: int):
+    """Exact ascending top-k by k argmin passes (VPU) instead of a sort.
+
+    jax.lax.approx_min_k(aggregate_to_topk=True) lowers to a FULL-row sort
+    on TPU — measured 2.3 ms per (4096, 2048) chunk, the dominant cost of
+    knn_tiles at k=8.  k argmin+mask passes are ~20x cheaper at small k.
+    Rows are (q, C); returns (D (q, k) ascending, I (q, k) int32 column
+    ids)."""
+    Ds, Is = [], []
+    for _ in range(k):
+        am = jnp.argmin(d2, axis=1)
+        Ds.append(jnp.take_along_axis(d2, am[:, None], 1)[:, 0])
+        Is.append(am.astype(jnp.int32))
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+                  == am[:, None])
+        d2 = jnp.where(onehot, BIG, d2)
+    return jnp.stack(Ds, -1), jnp.stack(Is, -1)
+
+
 def _spread_bits(x):
     """Interleave-ready 10-bit spread (classic Morton bit twiddling)."""
     x = (x | (x << 16)) & jnp.uint32(0x030000FF)
@@ -283,8 +302,7 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
             cpos = pos_tiles[c][tsel].reshape(qc, probe * tile)
             d2 = d2 + jnp.square(q[:, c:c + 1] - cpos)
         cidx = perm_tiles[tsel].reshape(qc, probe * tile)
-        Dk, sel = jax.lax.approx_min_k(d2, k, recall_target=0.99,
-                                       aggregate_to_topk=True)
+        Dk, sel = topk_extract(d2, k)
         Ik = jnp.take_along_axis(cidx, sel, axis=1)
         return Dk, Ik
 
@@ -379,8 +397,7 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
         smp = o[:, None, :] + d[:, None, :] * zc[..., None]  # (rc, S, 3)
         d2 = sum(jnp.square(smp[:, :, c, None] - cpos[c][:, None, :])
                  for c in range(3)).reshape(rc * S, P)
-        Dk, ss = jax.lax.approx_min_k(d2, k, recall_target=0.99,
-                                      aggregate_to_topk=True)
+        Dk, ss = topk_extract(d2, k)
         I = jnp.take_along_axis(jnp.repeat(cidx, S, axis=0), ss, axis=1)
         return Dk, I
 

@@ -36,7 +36,8 @@ from .renderer import RenderConfig, render_rays
     static_argnames=("mcfg", "rcfg", "pixels", "iters_mid", "iters_fine",
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
-                     "resample_stages", "ray_cand_k", "knn_probe"))
+                     "resample_stages", "ray_cand_k", "knn_probe",
+                     "union_u"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -49,7 +50,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_lr: float, separate_lr: bool, use_exposure: bool,
                 w_color: float, use_color: bool, handle_dynamic: bool,
                 resample_stages: int = 1, ray_cand_k: int = 0,
-                knn_probe: int = 16):
+                knn_probe: int = 16, union_u: int = 0):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -92,6 +93,86 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         ji = (idx // W, idx % W)
         return (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
 
+    def render_union_track(pr, stage, rays_o, rays_d, d_gt, rq, cache,
+                           expo):
+        """Pose-differentiable render over the per-ray neighbour UNION.
+
+        Features are FROZEN during tracking, so the union features/positions
+        are gathered ONCE per stage (stage_knn); each iteration recomputes
+        only the pose-dependent distances/weights from in-cache positions
+        and mixes features with one (S, u) x (u, 2C) batched matmul — NO
+        per-iteration HBM gathers.  MEASURED SLOWER than the gather path at
+        the ScanNet operating point (3.1 vs 1.8 ms/iter): with pose-
+        differentiable weights the backward needs dWm = einsum(ufeat, dc),
+        two extra batched small-matmul passes over the union cache that
+        outweigh the saved gathers.  Default off (tracking.union_size: 0);
+        semantics match interp_weights(diff_pos=True) with the union
+        drop-then-renormalise of the mapper's cache (tested vs the
+        reference path at union_u = S*k).
+        """
+        from .ops import composite as Co
+        from .ops import sampling as Samp
+
+        D, L, uposx, ufeat = cache        # (n,S,k), (n,S,k), (n,u+1,3), (n,u,2C)
+        n = rays_o.shape[0]
+        S_pts = rcfg.N_surface
+        u = ufeat.shape[1]
+        nz = d_gt > 0
+        safe = jnp.where(nz, d_gt, 1.0)
+        z = Samp.surface_z_vals(safe, S_pts, rcfg.near_end_surface,
+                                rcfg.far_end_surface, rcfg.fix_interval)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        # differentiable distances from cached union positions
+        cpos = jnp.take_along_axis(uposx[:, None], L[..., None], axis=2)
+        Dd = jnp.sum(jnp.square(cpos - pts[:, :, None, :]), -1)  # (n,S,k)
+        r2 = jnp.square(rq)[:, None, None]
+        nn_cnt = jnp.sum(D < r2, axis=-1)
+        has = nn_cnt > (mcfg.min_nn_num - 1)                     # (n, S)
+        if mcfg.weighting == "distance":
+            Dd = jnp.where(Dd > r2, 1e4, Dd)
+            w = 1.0 / (Dd + 1e-10)
+        else:
+            Dd = jnp.where(Dd > r2, 50.0, Dd)
+            w = jnp.exp(-20.0 * jnp.sqrt(Dd))
+        w = jnp.where(jax.lax.stop_gradient(Dd) > r2, 0.0, w)
+        # drop union-truncated neighbours, then L1-normalise (mapper rule)
+        onehot = (L[..., None] ==
+                  jnp.arange(u, dtype=jnp.int32)).astype(w.dtype)
+        Wm = jnp.einsum("nsk,nsku->nsu", w, onehot)
+        norm = jnp.maximum(jnp.sum(jnp.abs(Wm), -1, keepdims=True), 1e-12)
+        Wm = Wm / norm
+        c_all = jnp.einsum("nsu,nuc->nsc", Wm,
+                           ufeat.astype(jnp.float32)).reshape(
+            n * S_pts, -1)
+        hasf = has.reshape(-1)
+        c_all = jnp.where(hasf[:, None], c_all, 0.0)
+        C = mcfg.c_dim
+        c_geo, c_col = c_all[:, :C], c_all[:, C:]
+        p_flat = pts.reshape(-1, 3)
+        if Dec.fused_usable(mcfg):
+            occ, rgb = Dec.fused_color_pair(
+                pr[f"geo_{stage.split('_')[1]}"],
+                pr[f"col_{stage.split('_')[1]}"], mcfg, p_flat,
+                c_geo, c_col, exposure_feat=expo)
+        else:
+            lv = stage.split("_")[1]
+            occ = Dec.apply_geo(pr[f"geo_{lv}"], mcfg, p_flat, c_geo)
+            views_d = (jnp.repeat(rays_d, S_pts, axis=0)
+                       if mcfg.use_view_direction else None)
+            rgb = Dec.apply_color(pr[f"col_{lv}"], mcfg, p_flat, c_col,
+                                  views_d=views_d, exposure_feat=expo)
+        vmask = Dec.valid_ray_mask(hasf, S_pts, rcfg.N_surface)
+        occ = jnp.where(hasf, occ, -100.0)
+        raw = jnp.concatenate([rgb, occ[:, None]], -1).reshape(n, S_pts, 4)
+        depth, unc, color, _ = Co.raw2outputs(
+            raw, z, rays_d, occupancy=rcfg.occupancy,
+            coef=rcfg.sigmoid_coef)
+        if not rcfg.sample_near_pcl:
+            depth = jnp.where(nz, depth, 0.0)
+        if rcfg.skip_zero_depth_pixel:
+            color = jnp.where(nz[:, None], color, 0.0)
+        return depth, unc, color, vmask
+
     def loss_fn(op, stage, level_arrays, inputs, knn_cache, cat_feats):
         cam, pr, expo = assemble(op)
         c2w = G.get_camera_from_tensor(cam)
@@ -101,10 +182,15 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
         inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
                                      1.2 * jnp.max(d_gt))
-        depth, unc, color, _ = render_rays(
-            pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
-            pos, count, geo, col, rq, is_tracker=True, exposure_feat=expo,
-            knn_cache=knn_cache, cat_feats=cat_feats)
+        if union_u > 0:
+            depth, unc, color, _ = render_union_track(
+                pr, stage, rays_o, rays_d, d_gt, rq, knn_cache, expo)
+        else:
+            depth, unc, color, _ = render_rays(
+                pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
+                pos, count, geo, col, rq, is_tracker=True,
+                exposure_feat=expo, knn_cache=knn_cache,
+                cat_feats=cat_feats)
         unc = jax.lax.stop_gradient(unc)
         ok = inside & jnp.isfinite(depth) & jnp.isfinite(unc)
         tmp = jnp.abs(d_gt - depth) / jnp.sqrt(unc + 1e-10)
@@ -151,17 +237,16 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             return (op, ostate, best_loss, best_cam), loss
         return step
 
-    def stage_knn(inputs, tile_index, cloud_pos, cam, n_surface):
+    def stage_knn(inputs, tile_index, cloud_pos, cat_feats, cam,
+                  n_surface):
         """Single neighbour search at the stage's starting pose; iterations
-        reuse the indices (see render_rays knn_cache).
+        reuse the result (see render_rays knn_cache / render_union_track).
 
-        ray_cand_k > 0 (default): ONE segment search per RAY via
-        knn_ray — tile probing, candidate gather and selection run per ray
-        (candidates ranked by exact point-to-segment distance), then exact
-        per-sample top-k from the shared candidates.  An S-fold query
-        reduction over the per-sample search; ray_cand_k is the per-ray
-        candidate count.  ray_cand_k == 0 falls back to the exact
-        per-sample search."""
+        union_u > 0 (default): additionally builds the per-ray neighbour
+        UNION cache — slot table + one-off gathers of the frozen positions
+        and [geo | col] features — so iterations do no HBM gathers at all.
+        ray_cand_k > 0 switches the search itself to the per-ray segment
+        variant (knn_ray; off by default, see knn.py)."""
         i, j, d_gt, _c, _rq = inputs
         c2w = G.get_camera_from_tensor(cam)
         rays_o, rays_d = G.get_rays_from_uv(i, j, c2w, fx, fy, cx, cy)
@@ -174,10 +259,35 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         if ray_cand_k <= 0:
             p = (rays_o[:, None] + rays_d[:, None] * z[..., None]
                  ).reshape(-1, 3)
-            return Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
+            D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
                                  probe=knn_probe)
-        return Knn.knn_ray(rays_o, rays_d, z, *tile_index,
-                           k=rcfg.nn_num, kc=ray_cand_k)
+        else:
+            D, I = Knn.knn_ray(rays_o, rays_d, z, *tile_index,
+                               k=rcfg.nn_num, kc=ray_cand_k)
+        if union_u <= 0:
+            return D, I
+        # per-ray union + one-off gathers of FROZEN positions/features
+        # (see render_union_track)
+        from .ops import interpolate as IT
+        n = i.shape[0]
+        S_pts, kk = n_surface, rcfg.nn_num
+        cap = cloud_pos.shape[0]
+        if mcfg.weighting == "distance":
+            w_rank = 1.0 / (D + 1e-10)
+        else:
+            w_rank = jnp.exp(-20.0 * jnp.sqrt(jnp.maximum(D, 0.0)))
+        uids, L = jax.vmap(IT.union_slots, in_axes=(0, 0, None, None))(
+            I.reshape(n, S_pts * kk), w_rank.reshape(n, S_pts * kk),
+            union_u, cap)
+        safe_ids = jnp.minimum(uids, cap - 1)
+        upos = jnp.where((uids < cap)[..., None],
+                         cloud_pos[safe_ids], 1e6)       # (n, u, 3)
+        uposx = jnp.concatenate(
+            [upos, jnp.full((n, 1, 3), 1e6, upos.dtype)], 1)
+        ufeat = jnp.where((uids < cap)[..., None],
+                          cat_feats[safe_ids], 0)        # (n, u, 2C)
+        return (D.reshape(n, S_pts, kk), L.reshape(n, S_pts, kk),
+                uposx, ufeat)
 
     ostate = Opt.init(opt_params)
     carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
@@ -202,7 +312,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 continue
             inputs = stage_inputs(jax.random.fold_in(k, s), r_query_map)
             cache = stage_knn(inputs, tile_index, level_arrays[0],
-                              current_cam(carry), rcfg.N_surface)
+                              cat_feats, current_cam(carry),
+                              rcfg.N_surface)
             carry, ls = jax.lax.scan(
                 make_step(stage, level_arrays, inputs, cache, cat_feats),
                 carry, None, length=sub)
@@ -247,6 +358,13 @@ class Tracker:
         # amortised tile scoring/gathers (89 vs 63 ms at 25k samples).
         self.ray_cand_k = int(t.get("ray_cand_k", 0))
         self.knn_probe = int(t.get("knn_probe", 12))
+        # per-ray neighbour-union gather (render_union_track).  Default
+        # OFF: unlike the mapper (fixed weights), the tracker's pose-
+        # differentiable weights need a dWm backward — two extra batched
+        # (S,u)x(u,2C) matmul passes over the union feature cache per
+        # iteration, measured 3.1 vs 1.8 ms/iter at the ScanNet operating
+        # point.  Kept as a knob for configs with larger k.
+        self.union_u = int(t.get("union_size", 0))
         self.gt_camera = t["gt_camera"]
         self.depth_limit = 5.0 if t["depth_limit"] else None
         self.ratio_iter_mid = 0.5  # Tracker.py:40
@@ -330,7 +448,8 @@ class Tracker:
             use_exposure=self.use_exposure, w_color=self.w_color,
             use_color=self.use_color, handle_dynamic=self.handle_dynamic,
             resample_stages=self.resample_stages,
-            ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe)
+            ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe,
+            union_u=self.union_u)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

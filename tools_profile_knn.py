@@ -111,3 +111,32 @@ def ray_bench():
     bench("knn_ray 5k rays probe=32 (mid)", K.knn_ray, oj, dj, zj, *idxm, k=8, probe=32)
 
 ray_bench()
+
+def selection_ab():
+    import jax, time
+    import jax.numpy as jnp
+    from hpslam_tpu.ops import knn as K
+    import numpy as np
+    rng = np.random.default_rng(1)
+    lb2 = jnp.asarray(rng.uniform(0, 4, (4096, 4096)).astype(np.float32))
+    d2 = jnp.asarray(rng.uniform(0, 4, (4096, 2048)).astype(np.float32))
+    def force(r):
+        leaf = jax.tree.leaves(r)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)*0+1))
+    def bench(tag, f, *a):
+        force(f(*a))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            force(f(*a))
+        print(f"{tag:46s} {(time.perf_counter()-t0)/20*1e3:8.2f} ms")
+    bench("approx_min_k probe=12 (4096x4096)",
+          jax.jit(lambda x: jax.lax.approx_min_k(x, 12, recall_target=0.99)), lb2)
+    bench("topk_extract 12 (4096x4096)",
+          jax.jit(lambda x: K.topk_extract(x, 12)), lb2)
+    bench("approx_min_k agg k=8 (4096x2048)",
+          jax.jit(lambda x: jax.lax.approx_min_k(x, 8, recall_target=0.99, aggregate_to_topk=True)), d2)
+    bench("topk_extract 8 (4096x2048)",
+          jax.jit(lambda x: K.topk_extract(x, 8)), d2)
+    bench("bare fetch", jax.jit(lambda x: x[:8, :8]), d2)
+
+selection_ab()

@@ -133,14 +133,55 @@ def main():
             w_color=0.1, use_union=True, cache_packed=packed, geo_iters=0)
 
     import jax.tree as jt
-    o2, s2, losses = go(jt.map(jnp.copy, op), jt.map(jnp.copy, ost))
-    _ = float(jnp.sum(losses))
-    trace_dir = "/tmp/jax_trace_map"
-    os.system(f"rm -rf {trace_dir}")
-    with jax.profiler.trace(trace_dir):
+    if which.startswith("map"):
         o2, s2, losses = go(jt.map(jnp.copy, op), jt.map(jnp.copy, ost))
         _ = float(jnp.sum(losses))
-    print(f"== map_scan {N_IT} color iters (divide by {N_IT} for per-iter)")
+        trace_dir = "/tmp/jax_trace_map"
+        os.system(f"rm -rf {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            o2, s2, losses = go(jt.map(jnp.copy, op),
+                                jt.map(jnp.copy, ost))
+            _ = float(jnp.sum(losses))
+        print(f"== map_scan {N_IT} color iters (divide by {N_IT})")
+        summarize(trace_dir)
+        return
+
+    # ---- tracker trace: 20+20 iters, resample=1, prod pixel count
+    from hpslam_tpu.tracker import track_frame
+    N_MID, CAP_MID = 60_000, 1 << 17
+    pos_m = np.zeros((CAP_MID, 3), np.float32)
+    pos_m[:N_MID] = pts[:N_MID]
+    geo_m = rng.normal(0, 0.1, (CAP_MID, mcfg.c_dim)).astype(np.float32)
+    col_m = rng.normal(0, 0.1, (CAP_MID, mcfg.c_dim)).astype(np.float32)
+    mid = (jnp.asarray(pos_m), jnp.int32(N_MID), jnp.asarray(geo_m),
+           jnp.asarray(col_m))
+    fine = (pos_j, count, jnp.asarray(geo), jnp.asarray(col))
+    idx_m = K.build_tiles(mid[0], mid[1])
+    cam = jnp.asarray(np.array([1, 0, 0, 0, 0.1, 0.05, 0.2], np.float32))
+    pool_flat = jnp.asarray(pool)
+
+    def go_track(k):
+        return track_frame(
+            params, mcfg, rcfg, cam, k,
+            colors[0], depths[0], rq_stack[0], rq_stack[0],
+            pool_flat, jnp.int32(pool.size),
+            mid[0], mid[1], mid[2], mid[3], idx_m,
+            fine[0], fine[1], fine[2], fine[3], index,
+            jnp.zeros((8,), jnp.float32),
+            pixels=5000, iters_mid=20, iters_fine=20,
+            W=W, fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4,
+            separate_lr=False, use_exposure=True, w_color=0.5,
+            use_color=True, handle_dynamic=True, resample_stages=1,
+            knn_probe=12)
+
+    out = go_track(jax.random.PRNGKey(0))
+    _ = float(jnp.sum(out[0]))
+    trace_dir = "/tmp/jax_trace_track"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        out = go_track(jax.random.PRNGKey(1))
+        _ = float(jnp.sum(out[0]))
+    print("== track_frame 40 iters resample=1 (divide by 40)")
     summarize(trace_dir)
 
 
