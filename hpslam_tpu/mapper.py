@@ -472,10 +472,11 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         if stage.startswith("color"):
             c_col = c_all[:, C:]
             if Dec.fused_usable(mcfg):
-                # one Pallas kernel for both trunks (exposure deferred)
+                # one Pallas kernel for both trunks (exposure deferred);
+                # pts are phase constants -> skip the dp backward
                 occ, rgb = Dec.fused_color_pair(
                     pr[f"geo_{level}"], pr[f"col_{level}"], mcfg, pts,
-                    c_geo, c_col, exposure_feat=None)
+                    c_geo, c_col, exposure_feat=None, need_dp=False)
             else:
                 occ = Dec.apply_geo(pr[f"geo_{level}"], mcfg, pts, c_geo)
                 views_d = (jnp.repeat(rays_d, S_pts, axis=0)
@@ -483,7 +484,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 rgb = Dec.apply_color(pr[f"col_{level}"], mcfg, pts, c_col,
                                       views_d=views_d, exposure_feat=None)
         else:
-            occ = (Dec.fused_geo(pr[f"geo_{level}"], mcfg, pts, c_geo)
+            occ = (Dec.fused_geo(pr[f"geo_{level}"], mcfg, pts, c_geo,
+                                 need_dp=False)
                    if Dec.fused_usable(mcfg)
                    else Dec.apply_geo(pr[f"geo_{level}"], mcfg, pts, c_geo))
             rgb = jnp.zeros((pts.shape[0], 3))

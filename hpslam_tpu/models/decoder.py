@@ -395,26 +395,35 @@ def fused_usable(cfg: ModelConfig, views_d=None, normals=None) -> bool:
             and views_d is None and normals is None)
 
 
-def fused_geo(p_dec: Params, cfg: ModelConfig, p, c_geo):
-    """apply_geo via the Pallas-fused kernel (geometry core frozen)."""
+def fused_geo(p_dec: Params, cfg: ModelConfig, p, c_geo,
+              need_dp: bool = True):
+    """apply_geo via the Pallas-fused kernel (geometry core frozen).
+
+    need_dp=False skips the embedding backward when the sample positions
+    are constants (mapper union path)."""
     from ..ops import fused_mlp as FM
     return FM.nicer_fused_geo(p, c_geo,
                               tuple(FM.flatten_core(p_dec["core"])),
-                              p_dec["B"], cfg.n_blocks, cfg.skip)
+                              p_dec["B"], cfg.n_blocks, cfg.skip,
+                              False, need_dp)
 
 
 def fused_color_pair(geo_dec: Params, col_dec: Params, cfg: ModelConfig,
-                     p, c_geo, c_col, exposure_feat=None):
+                     p, c_geo, c_col, exposure_feat=None,
+                     need_dp: bool = True):
     """apply_geo + apply_color in one Pallas kernel pair.
 
     Returns (occ (n,), rgb (n, 3)); the exposure/sigmoid tail matches
-    apply_color (raw output when exposure is deferred to the caller)."""
+    apply_color (raw output when exposure is deferred to the caller).
+    need_dp=False skips the embedding backward when sample positions are
+    constants (mapper union path)."""
     from ..ops import fused_mlp as FM
     occ, out = FM.nicer_fused_color(
         p, c_geo, c_col,
         tuple(FM.flatten_core(geo_dec["core"])),
         tuple(FM.flatten_core(col_dec["core"])),
-        (geo_dec["B"], col_dec["B"]), cfg.n_blocks, cfg.skip)
+        (geo_dec["B"], col_dec["B"]), cfg.n_blocks, cfg.skip, False,
+        need_dp)
     if cfg.encode_exposure:
         if exposure_feat is not None:
             rot, trans = exposure_affine(col_dec, exposure_feat)

@@ -220,6 +220,7 @@ def _fwd_kernel(n_blocks, skip, n_geo, with_color, exact,
 
 
 def _bwd_kernel(n_blocks, skip, n_geo, with_color, need_col_wgrads, exact,
+                need_dp,
                 p_ref, cg_ref, cc_ref, Bg_ref, Bc_ref, *refs):
     """Backward: recompute forward with saves, then backprop.
 
@@ -251,11 +252,17 @@ def _bwd_kernel(n_blocks, skip, n_geo, with_color, need_col_wgrads, exact,
     d_eg, d_cg, _ = _trunk_bwd_block(gocc_ref[:], eg, cg, gws, saved_g,
                                      n_blocks, skip, _RELU, exact=exact)
     dcg_ref[:] = d_cg
-    # d p from sin embedding: dproj = cos(proj) * d_e
-    dproj_g = jnp.cos(proj_g) * d_eg
-    dp = (2.0 * math.pi) * jnp.dot(dproj_g, Bg.T,
-                                   precision=jax.lax.Precision.HIGHEST,
-                                   preferred_element_type=jnp.float32)
+    if need_dp:
+        # d p from sin embedding: dproj = cos(proj) * d_e
+        dproj_g = jnp.cos(proj_g) * d_eg
+        dp = (2.0 * math.pi) * jnp.dot(
+            dproj_g, Bg.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    else:
+        # sample positions are phase constants for the mapper's union
+        # path — skip the embedding backward (two 3-pass matmuls + the
+        # cos() transcendentals per block)
+        dp = jnp.zeros((p.shape[0], 3), jnp.float32)
 
     if with_color:
         cc = cc_ref[:]
@@ -268,12 +275,13 @@ def _bwd_kernel(n_blocks, skip, n_geo, with_color, need_col_wgrads, exact,
             grgb_ref[:], ec, cc, cws, saved_c, n_blocks, skip,
             _SOFTPLUS100, exact=exact)
         dcc_ref[:] = d_cc
-        m = proj_c.shape[-1]
-        dproj_c = jnp.cos(proj_c) * d_ec[:, :m] \
-            - jnp.sin(proj_c) * d_ec[:, m:]
-        dp = dp + (2.0 * math.pi) * jnp.dot(
-            dproj_c, Bc.T, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        if need_dp:
+            m = proj_c.shape[-1]
+            dproj_c = jnp.cos(proj_c) * d_ec[:, :m] \
+                - jnp.sin(proj_c) * d_ec[:, m:]
+            dp = dp + (2.0 * math.pi) * jnp.dot(
+                dproj_c, Bc.T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
         if need_col_wgrads:
             first = pl.program_id(0) == 0
             for r, d in zip(dcol_refs, d_cws):
@@ -343,10 +351,12 @@ def _fused_fwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "skip",
                                              "with_color",
-                                             "need_col_wgrads", "exact"))
+                                             "need_col_wgrads", "exact",
+                                             "need_dp"))
 def _fused_bwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
                g_occ, g_rgb, n_blocks: int, skip: int, with_color: bool,
-               need_col_wgrads: bool, exact: bool = False):
+               need_col_wgrads: bool, exact: bool = False,
+               need_dp: bool = True):
     n = p.shape[0]
     bn = _pick_bn(n)
     n_pad = -(-n // bn) * bn
@@ -379,7 +389,7 @@ def _fused_bwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
             out_specs.append(full_spec(w))
 
     kern = functools.partial(_bwd_kernel, n_blocks, skip, len(geo_flat),
-                             with_color, need_col_wgrads, exact)
+                             with_color, need_col_wgrads, exact, need_dp)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -403,9 +413,10 @@ def _fused_bwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
 # ---------------------------------------------------------------------------
 # public custom-VJP ops
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
-                      n_blocks: int, skip: int, exact: bool = False):
+                      n_blocks: int, skip: int, exact: bool = False,
+                      need_dp: bool = True):
     """(occ_logit (n,), raw rgb (n, 3)) for one colour stage.
 
     Differentiable in p, c_geo, c_col and the colour core weights; the
@@ -420,18 +431,19 @@ def nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
 
 
 def _color_fwd(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
-               n_blocks, skip, exact=False):
+               n_blocks, skip, exact=False, need_dp=True):
     out = nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat,
-                            Bs, n_blocks, skip, exact)
+                            Bs, n_blocks, skip, exact, need_dp)
     return out, (p, c_geo, c_col, geo_core_flat, col_core_flat, Bs)
 
 
-def _color_bwd(n_blocks, skip, exact, res, g):
+def _color_bwd(n_blocks, skip, exact, need_dp, res, g):
     p, c_geo, c_col, geo_flat, col_flat, (Bg, Bc) = res
     g_occ, g_rgb = g
     dp, dcg, dcc, dcol = _fused_bwd(
         p, c_geo, c_col, Bg, Bc, tuple(geo_flat), tuple(col_flat),
-        g_occ, g_rgb, n_blocks, skip, True, True, exact=exact)
+        g_occ, g_rgb, n_blocks, skip, True, True, exact=exact,
+        need_dp=need_dp)
     dgeo = jax.tree.map(jnp.zeros_like, geo_flat)
     dcol = jax.tree.unflatten(jax.tree.structure(col_flat), dcol)
     return (dp, dcg, dcc, dgeo, dcol,
@@ -441,9 +453,9 @@ def _color_bwd(n_blocks, skip, exact, res, g):
 nicer_fused_color.defvjp(_color_fwd, _color_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def nicer_fused_geo(p, c_geo, geo_core_flat, Bg, n_blocks: int, skip: int,
-                    exact: bool = False):
+                    exact: bool = False, need_dp: bool = True):
     """occ_logit (n,) for one geometry stage.  Differentiable in p and
     c_geo only (geometry core + B frozen, see module docstring)."""
     zc = jnp.zeros((p.shape[0], c_geo.shape[1]), jnp.float32)
@@ -452,19 +464,20 @@ def nicer_fused_geo(p, c_geo, geo_core_flat, Bg, n_blocks: int, skip: int,
     return occ
 
 
-def _geo_fwd(p, c_geo, geo_core_flat, Bg, n_blocks, skip, exact=False):
+def _geo_fwd(p, c_geo, geo_core_flat, Bg, n_blocks, skip, exact=False,
+             need_dp=True):
     occ = nicer_fused_geo(p, c_geo, geo_core_flat, Bg, n_blocks, skip,
-                          exact)
+                          exact, need_dp)
     return occ, (p, c_geo, geo_core_flat, Bg)
 
 
-def _geo_bwd(n_blocks, skip, exact, res, g_occ):
+def _geo_bwd(n_blocks, skip, exact, need_dp, res, g_occ):
     p, c_geo, geo_flat, Bg = res
     zc = jnp.zeros((p.shape[0], c_geo.shape[1]), jnp.float32)
     zg = jnp.zeros((p.shape[0], 3), jnp.float32)
     dp, dcg, _, _ = _fused_bwd(
         p, c_geo, zc, Bg, Bg, tuple(geo_flat), (), g_occ, zg,
-        n_blocks, skip, False, False, exact=exact)
+        n_blocks, skip, False, False, exact=exact, need_dp=need_dp)
     return dp, dcg, jax.tree.map(jnp.zeros_like, geo_flat), \
         jnp.zeros_like(Bg)
 
