@@ -410,7 +410,7 @@ def fused_geo(p_dec: Params, cfg: ModelConfig, p, c_geo,
 
 def fused_color_pair(geo_dec: Params, col_dec: Params, cfg: ModelConfig,
                      p, c_geo, c_col, exposure_feat=None,
-                     need_dp: bool = True):
+                     need_dp: bool = True, need_wgrads: bool = True):
     """apply_geo + apply_color in one Pallas kernel pair.
 
     Returns (occ (n,), rgb (n, 3)); the exposure/sigmoid tail matches
@@ -423,7 +423,7 @@ def fused_color_pair(geo_dec: Params, col_dec: Params, cfg: ModelConfig,
         tuple(FM.flatten_core(geo_dec["core"])),
         tuple(FM.flatten_core(col_dec["core"])),
         (geo_dec["B"], col_dec["B"]), cfg.n_blocks, cfg.skip, False,
-        need_dp)
+        need_dp, need_wgrads)
     if cfg.encode_exposure:
         if exposure_feat is not None:
             rot, trans = exposure_affine(col_dec, exposure_feat)
@@ -493,8 +493,12 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
             diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_col)
     vmask = valid_ray_mask(has, n_pts_per_ray, cfg.N_surface)
     if fused_usable(cfg, views_d, normals):
+        # tracker mode never optimizes the colour core (only pose +
+        # exposure MLP, which sits outside the trunk) — skip the 22
+        # weight-grad kernel outputs
         occ, rgb = fused_color_pair(geo_dec, col_dec, cfg, p, c_geo, c_col,
-                                    exposure_feat=exposure_feat)
+                                    exposure_feat=exposure_feat,
+                                    need_wgrads=not is_tracker)
     else:
         occ = apply_geo(geo_dec, cfg, p, c_geo)
         rgb = apply_color(col_dec, cfg, p, c_col, views_d=views_d,

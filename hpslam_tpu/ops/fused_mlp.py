@@ -413,10 +413,10 @@ def _fused_bwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
 # ---------------------------------------------------------------------------
 # public custom-VJP ops
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
                       n_blocks: int, skip: int, exact: bool = False,
-                      need_dp: bool = True):
+                      need_dp: bool = True, need_wgrads: bool = True):
     """(occ_logit (n,), raw rgb (n, 3)) for one colour stage.
 
     Differentiable in p, c_geo, c_col and the colour core weights; the
@@ -431,18 +431,20 @@ def nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
 
 
 def _color_fwd(p, c_geo, c_col, geo_core_flat, col_core_flat, Bs,
-               n_blocks, skip, exact=False, need_dp=True):
+               n_blocks, skip, exact=False, need_dp=True,
+               need_wgrads=True):
     out = nicer_fused_color(p, c_geo, c_col, geo_core_flat, col_core_flat,
-                            Bs, n_blocks, skip, exact, need_dp)
+                            Bs, n_blocks, skip, exact, need_dp,
+                            need_wgrads)
     return out, (p, c_geo, c_col, geo_core_flat, col_core_flat, Bs)
 
 
-def _color_bwd(n_blocks, skip, exact, need_dp, res, g):
+def _color_bwd(n_blocks, skip, exact, need_dp, need_wgrads, res, g):
     p, c_geo, c_col, geo_flat, col_flat, (Bg, Bc) = res
     g_occ, g_rgb = g
     dp, dcg, dcc, dcol = _fused_bwd(
         p, c_geo, c_col, Bg, Bc, tuple(geo_flat), tuple(col_flat),
-        g_occ, g_rgb, n_blocks, skip, True, True, exact=exact,
+        g_occ, g_rgb, n_blocks, skip, True, need_wgrads, exact=exact,
         need_dp=need_dp)
     dgeo = jax.tree.map(jnp.zeros_like, geo_flat)
     dcol = jax.tree.unflatten(jax.tree.structure(col_flat), dcol)

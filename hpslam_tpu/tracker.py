@@ -425,11 +425,16 @@ class Tracker:
         iters_mid = int(self.iters * self.ratio_iter_mid)
         iters_fine = self.iters - iters_mid
 
-        # fused_mlp disabled here: the fused trunks compile and validate
-        # standalone at tracking shapes (tests/test_fused_mlp.py), but the
-        # FULL track_frame program with the Pallas custom calls crashes the
-        # TPU compile helper at pixels=5000 (works at 1000; opaque HTTP 500
-        # through the tunnel).  Mapper keeps them — it is the dominant cost.
+        # fused_mlp disabled for tracking on MEASUREMENT: the fused
+        # trunks are a net loss here (2.0 vs 1.8 ms/iter at the ScanNet
+        # operating point) — pose gradients force the embedding backward
+        # (HIGHEST-precision matmuls + transcendentals) and the backward
+        # kernel's forward recompute, which outweigh the op-count savings
+        # that win in the mapper.  (An earlier TPU compile-helper crash
+        # with the kernels inside track_frame was traced to the 22
+        # constant-index weight-grad outputs; eval_stage now skips them in
+        # tracker mode via need_wgrads=False, so this is a choice, not a
+        # limitation.)  The mapper keeps the kernels — it dominates.
         mcfg_run = dataclasses.replace(slam.mcfg, fused_mlp=False)
         best_cam, best_loss, losses, op = track_frame(
             params, mcfg_run, self.rcfg,
