@@ -358,6 +358,8 @@ def _fused_bwd(p, c_geo, c_col, Bg, Bc, geo_flat, col_flat,
                need_col_wgrads: bool, exact: bool = False,
                need_dp: bool = True):
     n = p.shape[0]
+    # bwd saves all layer inputs/pre-activations per block; cap 1024 keeps
+    # the kernel under VMEM (2048 crashes the compiler)
     bn = _pick_bn(n)
     n_pad = -(-n // bn) * bn
     pp = _pad_rows(p, n_pad)
