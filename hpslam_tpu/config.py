@@ -98,6 +98,10 @@ def build_arg_parser(description: str = "TPU-native Hierarchical Point-SLAM"):
     p.add_argument("--nice", action="store_true", default=True)
     p.add_argument("--gt_camera", action="store_true")
     p.add_argument("--kf_selection", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the output "
+                        "dir (framework extension; reference checkpoints "
+                        "are write-only)")
     for on, off, _ in _PAIRED_FLAGS:
         p.add_argument(f"--{on}", action="store_true")
         p.add_argument(f"--{off}", action="store_true")
@@ -119,6 +123,8 @@ def apply_args(cfg: dict, args: argparse.Namespace) -> dict:
         cfg["data"]["output"] = args.output
     if getattr(args, "input_folder", None):
         cfg["data"]["input_folder"] = args.input_folder
+    if getattr(args, "resume", False):
+        cfg["resume"] = True
     if getattr(args, "gt_camera", False):
         cfg["tracking"]["gt_camera"] = True
     if getattr(args, "kf_selection", False):

@@ -28,9 +28,11 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .mapper import Mapper
+from .ops import image as IM
 from .models import decoder as Dec
 from .state import NeuralPointCloud
 from .tracker import Tracker
@@ -218,6 +220,70 @@ class PointSLAM:
                 print("Saved point cloud and point normals.")
 
     # ------------------------------------------------------------------
+    def restore_from(self, path: str) -> int:
+        """Resume a live run from a Logger checkpoint (exceeds the
+        reference, whose .tar dumps are write-only and consumed solely by
+        offline tools — src/utils/Logger.py, SURVEY.md §5).
+
+        Restores the point store + input cloud, decoder params, exposure
+        latent, pose lists, keyframe registry (images and device twins are
+        re-read from the dataset — the Logger strips them), and the PRNG
+        stream positions.  Returns the checkpointed frame idx; run()
+        continues at idx+1.
+        """
+        from .utils.logger import load_checkpoint
+        state = load_checkpoint(path)
+        for name, lv in state["levels"].items():
+            self.npc.restore_level(name, lv["pos"], lv["normal"],
+                                   lv["geo"], lv["col"])
+        self.npc.restore_input(state["input_pos"], state["input_rgb"],
+                               state["input_normal"])
+        self.params = jax.tree.map(jnp.asarray, state["decoder_params"])
+        self.exposure_feat = np.asarray(state["exposure_feat"], np.float32)
+        n = min(len(state["estimate_c2w_list"]), self.n_img)
+        self.estimate_c2w_list[:n] = state["estimate_c2w_list"][:n]
+        self.gt_c2w_list[:n] = state["gt_c2w_list"][:n]
+        self.mapper.keyframe_list = list(state["keyframe_list"])
+        self.mapper.selected_keyframes = state.get("selected_keyframes")
+        self._key_counter = int(state.get("key_counter", 0))
+        self.npc._key_counter = int(state.get("npc_key_counter", 0))
+        kfs = []
+        for kf in state["keyframe_dict"]:
+            i = int(kf["idx"])
+            fr = self.frame_reader[i]
+            _r_add, r_query = self.tracker.prepare_radii(fr.color)
+            H, W = fr.depth.shape
+            pool = IM.valid_pixel_pool(fr.depth, 0, H, 0, W)
+            pj = np.zeros((H * W,), np.int32)
+            pj[: pool.size] = pool
+            kfs.append({
+                "idx": i,
+                "color": fr.color.copy(),
+                "depth": fr.depth.copy(),
+                "gt_c2w": np.asarray(kf["gt_c2w"]),
+                "est_c2w": np.asarray(kf["est_c2w"]),
+                "r_query_mid": r_query["mid"],
+                "r_query_fine": r_query["fine"],
+                "exposure_feat": np.asarray(kf["exposure_feat"]),
+                "color_j": fr.color_j,
+                "depth_j": fr.depth_j,
+                "rqm_j": jnp.asarray(r_query["mid"]),
+                "rqf_j": jnp.asarray(r_query["fine"]),
+                "pool_j": jnp.asarray(pj),
+                "pool_len": int(max(pool.size, 1)),
+            })
+        self.mapper.keyframe_dict = kfs
+        # last mapped pose for the reprojection point filter
+        # (mapper.add_points_for_frame); the checkpointed frame is the
+        # most recent mapped-or-tracked pose available
+        self.mapper.prev_c2w = np.asarray(
+            state["estimate_c2w_list"][state["idx"]], np.float32)
+        if self.verbose:
+            print(f"Resumed from {path} at frame {state['idx']} "
+                  f"(pts {self.npc.pts_num()}, {len(kfs)} keyframes)")
+        return int(state["idx"])
+
+    # ------------------------------------------------------------------
     def run(self):
         """Strict-sync interleaved tracking+mapping over the sequence
         (replaces Point_SLAM.run + both worker loops)."""
@@ -225,12 +291,22 @@ class PointSLAM:
         n = self.n_img
         track_times, map_times = [], []
 
+        start = 0
+        if self.cfg.get("resume"):
+            from .utils.logger import latest_checkpoint
+            ck = latest_checkpoint(self.output)
+            if ck is not None:
+                start = self.restore_from(ck) + 1
+            elif self.verbose:
+                print("resume requested but no checkpoint found; "
+                      "starting fresh")
+
         # background-thread decode overlapping device compute
         # (DataLoader(num_workers=1) role, Tracker.py:95-96)
         from .utils.datasets import Prefetcher
-        prefetcher = Prefetcher(reader)
+        prefetcher = Prefetcher(reader, start=start)
 
-        for idx, frame in enumerate(prefetcher):
+        for idx, frame in enumerate(prefetcher, start=start):
             self.gt_c2w_list[idx] = frame.c2w
 
             # ---- tracking (frames 0-1 copy GT, Tracker.py:366-367)

@@ -199,6 +199,28 @@ class NeuralPointCloud:
             self._index_dirty[level] = False
         return self._tile_index[level]
 
+    def restore_level(self, level: str, pos, normal, geo, col):
+        """Load a checkpointed level (utils/logger.py) into the fixed-
+        capacity store: capacity = next power of two with growth headroom,
+        rows [0:n] set, index marked dirty."""
+        n = int(pos.shape[0])
+        cap = max(self.levels[level].capacity,
+                  1 << max(1, (n + self.GROWTH_HEADROOM - 1)).bit_length())
+        lv = make_level(cap, self.c_dim)
+        self.levels[level] = lv.replace(
+            pos=lv.pos.at[:n].set(jnp.asarray(pos)),
+            normal=lv.normal.at[:n].set(jnp.asarray(normal)),
+            geo=lv.geo.at[:n].set(jnp.asarray(geo)),
+            col=lv.col.at[:n].set(jnp.asarray(col)),
+            count=jnp.asarray(n, jnp.int32))
+        self._index_dirty[level] = True
+
+    def restore_input(self, pos, rgb, normal):
+        """Load the checkpointed raw input cloud (host lists)."""
+        self._input_pos = np.asarray(pos).tolist()
+        self._input_rgb = np.asarray(rgb).tolist()
+        self._input_normal = np.asarray(normal).tolist()
+
     def pts_num(self) -> Dict[str, int]:
         return {k: int(v.count) for k, v in self.levels.items()}
 

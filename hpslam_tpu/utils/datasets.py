@@ -353,15 +353,16 @@ class Prefetcher:
     Tracker.py:95-96).  cv2 releases the GIL during decode, so a single
     thread overlaps IO with device compute."""
 
-    def __init__(self, reader: BaseReader, depth: int = 2):
+    def __init__(self, reader: BaseReader, depth: int = 2, start: int = 0):
         self.reader = reader
+        self.start = start
         self.q: "queue.Queue[Tuple[int, Frame]]" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
-        for i in range(len(self.reader)):
+        for i in range(self.start, len(self.reader)):
             if self._stop.is_set():
                 return
             self.q.put((i, self.reader[i]))

@@ -63,6 +63,9 @@ class Logger:
             "keyframe_dict": kf_dict,
             "selected_keyframes": selected_keyframes,
             "idx": idx,
+            # PRNG stream positions (resume replay fidelity)
+            "key_counter": getattr(self.slam, "_key_counter", 0),
+            "npc_key_counter": getattr(npc, "_key_counter", 0),
         }
         with open(path, "wb") as f:
             pickle.dump(state, f, protocol=4)
