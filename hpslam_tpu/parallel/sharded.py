@@ -8,7 +8,6 @@ NCCL-style plumbing (the reference has none to port; SURVEY.md §2).
 from __future__ import annotations
 
 import functools
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

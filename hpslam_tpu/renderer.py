@@ -22,7 +22,6 @@ reach the optimizers), so ``npc.sample_near_pcl`` only ever fires inside
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

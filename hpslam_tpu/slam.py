@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

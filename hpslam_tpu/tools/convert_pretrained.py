@@ -16,7 +16,6 @@ Usage: python -m hpslam_tpu.tools.convert_pretrained middle_fine.pt out.npz
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

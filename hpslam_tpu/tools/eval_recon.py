@@ -13,7 +13,6 @@ with the native BVH raycaster, with unseen-region rejection sampling
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -13,7 +13,6 @@ they are a deterministic function of it (Tracker.py:297-325).
 """
 from __future__ import annotations
 
-import argparse
 import os
 import sys
 
@@ -73,7 +72,6 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from hpslam_tpu import config as C
-    from hpslam_tpu.models import decoder as Dec
     from hpslam_tpu.slam import PointSLAM
     from hpslam_tpu.utils.logger import latest_checkpoint, load_checkpoint
     from hpslam_tpu.utils.ply import write_ply_mesh

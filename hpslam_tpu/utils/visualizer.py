@@ -9,7 +9,7 @@ render_rays program in fixed-size ray batches.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
