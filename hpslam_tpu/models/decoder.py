@@ -438,7 +438,7 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
                geo_feats, col_feats, cloud_pos, r_query,
                n_pts_per_ray: int, is_tracker: bool = False,
                views_d=None, normals=None, exposure_feat=None,
-               cat_feats=None):
+               cat_feats=None, dec_wgrads: bool = True):
     """Evaluate one render stage at sample positions.
 
     Mirrors ``NICER.forward`` (decoder.py:660-758) with ``stage`` static:
@@ -493,12 +493,15 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
             diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_col)
     vmask = valid_ray_mask(has, n_pts_per_ray, cfg.N_surface)
     if fused_usable(cfg, views_d, normals):
-        # tracker mode never optimizes the colour core (only pose +
-        # exposure MLP, which sits outside the trunk) — skip the 22
-        # weight-grad kernel outputs
+        # dec_wgrads=False (tracker: only pose + the exposure MLP, which
+        # sits outside the trunk, are optimized) skips the 22 weight-grad
+        # kernel outputs.  NOTE: keyed on the caller's explicit flag, NOT
+        # on is_tracker — the mapper's BA path also uses tracker-mode
+        # (pose-differentiable) weights while genuinely optimizing the
+        # colour decoder.
         occ, rgb = fused_color_pair(geo_dec, col_dec, cfg, p, c_geo, c_col,
                                     exposure_feat=exposure_feat,
-                                    need_wgrads=not is_tracker)
+                                    need_wgrads=dec_wgrads)
     else:
         occ = apply_geo(geo_dec, cfg, p, c_geo)
         rgb = apply_color(col_dec, cfg, p, c_col, views_d=views_d,

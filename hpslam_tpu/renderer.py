@@ -70,7 +70,8 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 is_tracker: bool = False, exposure_feat=None,
                 far_fallback: Optional[jnp.ndarray] = None,
                 zero_depth_z_vals: Optional[jnp.ndarray] = None,
-                knn_cache=None, tile_index=None, cat_feats=None):
+                knn_cache=None, tile_index=None, cat_feats=None,
+                dec_wgrads: bool = True):
     """Render one batch of rays at one stage/level.
 
     Args:
@@ -134,7 +135,8 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     raw, vmask, point_mask = Dec.eval_stage(
         params, mcfg, stage, p, D, I, geo_feats, col_feats, cloud_pos, rq,
         n_pts_per_ray=S_pts, is_tracker=is_tracker, views_d=views_d,
-        exposure_feat=exposure_feat, cat_feats=cat_feats)
+        exposure_feat=exposure_feat, cat_feats=cat_feats,
+        dec_wgrads=dec_wgrads)
 
     # samples without neighbours are forced transparent (Renderer.py:237-239)
     occ = jnp.where(point_mask, raw[:, -1], -100.0)

@@ -189,7 +189,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
                 pos, count, geo, col, rq, is_tracker=True,
                 exposure_feat=expo, knn_cache=knn_cache,
-                cat_feats=cat_feats)
+                cat_feats=cat_feats, dec_wgrads=False)
         unc = jax.lax.stop_gradient(unc)
         ok = inside & jnp.isfinite(depth) & jnp.isfinite(unc)
         tmp = jnp.abs(d_gt - depth) / jnp.sqrt(unc + 1e-10)
