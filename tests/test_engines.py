@@ -454,3 +454,66 @@ def test_track_frame_union_matches_reference_path(rng):
     # longer trajectories diverge chaotically at float-rounding scale
     np.testing.assert_allclose(loss_uni, loss_ref, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(cam_uni, cam_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_map_scan_ba_fused_moves_decoder(rng):
+    """BA + fused trunks + opt_color_dec: the colour decoder must receive
+    real gradients (regression for the dec_wgrads gating — BA uses
+    tracker-mode differentiable weights, which must NOT disable decoder
+    weight grads)."""
+    import dataclasses as dc
+    mcfg = dc.replace(small_cfg(), fused_mlp=True)
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+
+    H, W, F = 24, 32, 3
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                     -np.ones_like(ii, float)], -1)
+    depth = (2.0 / -dirs[..., 2]).astype(np.float32)
+    colors = np.broadcast_to(
+        rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32),
+        (F, H, W, 3)).copy()
+    depths = np.broadcast_to(depth, (F, H, W)).copy()
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    rq = np.full((F, H, W), 0.4, np.float32)
+    pools = np.broadcast_to(np.arange(H * W, dtype=np.int32),
+                            (F, H * W)).copy()
+    pool_lens = np.full((F,), H * W, np.int32)
+    expo_stack = np.zeros((F, 8), np.float32)
+
+    n_iters = 4
+    stage_ids = np.ones(n_iters, np.int32)
+    lr_table = np.tile(np.array([[0.01, 0.01, 0.01, 0.001]], np.float32),
+                       (n_iters, 1))
+    cams = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (F, 1))
+    trainable = np.array([False, True, True])
+
+    op = {"geo": geo, "col": col, "cams": jnp.asarray(cams),
+          "dec": {"col_fine": jax.tree.map(jnp.copy, params["col_fine"])}}
+    ost = Opt.init(op)
+    cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+        jax.random.PRNGKey(7), jnp.asarray(depths), jnp.asarray(c2ws),
+        jnp.asarray(pools), jnp.asarray(pool_lens),
+        KK.build_tiles(pos, count),
+        P=128, S=5, k=8, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        near_surface=0.96, far_surface=1.04)
+    op, ost, losses = map_scan(
+        params, mcfg, rcfg, op, ost, jax.random.PRNGKey(1),
+        jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
+        jnp.asarray(rq), cache_pix, cacheD, cacheI,
+        jnp.asarray(expo_stack), pos, count,
+        jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
+        level="fine", n_rays=128, F_max=F, H=H, W=W,
+        fx=fx, fy=fy, cx=cx, cy=cy, n_iters=n_iters, use_exposure=False,
+        opt_color_dec=True, opt_geo_dec=False, w_color=0.1,
+        use_ba=True, cam_trainable=jnp.asarray(trainable))
+    assert np.isfinite(np.asarray(losses)).all()
+    before = jax.tree.leaves(params["col_fine"]["core"])
+    after = jax.tree.leaves(op["dec"]["col_fine"]["core"])
+    moved = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(after, before))
+    assert moved > 1e-6, "colour decoder core received no gradient"
