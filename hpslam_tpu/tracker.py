@@ -152,7 +152,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             occ, rgb = Dec.fused_color_pair(
                 pr[f"geo_{stage.split('_')[1]}"],
                 pr[f"col_{stage.split('_')[1]}"], mcfg, p_flat,
-                c_geo, c_col, exposure_feat=expo)
+                c_geo, c_col, exposure_feat=expo, need_wgrads=False)
         else:
             lv = stage.split("_")[1]
             occ = Dec.apply_geo(pr[f"geo_{lv}"], mcfg, p_flat, c_geo)
