@@ -18,6 +18,20 @@ Architecture mirrored (reference src/conv_onet/models/decoder.py:108-342,
     -> +fc_c(c)] with skip concat -> linear -> raw rgb (sigmoid/exposure
     applied by the caller).
 
+Measured next levers (round-3 traces, one TPU v5e chip, ScanNet op
+point, ~4.6 ms/iteration):
+  * ~1.1 ms/iter of inter-op scheduling latency remains — the next
+    structural win is folding the per-ray compositor + losses (and their
+    backward) into these kernels so one fwd + one bwd kernel cover the
+    whole iteration except gather/scatter/Adam.  A full mega-kernel
+    (feature table resident in VMEM) is blocked: Mosaic has no
+    vectorized int-array indexing ("Cannot do int indexing on TPU").
+  * the backward's in-kernel forward recompute costs ~0.4 ms; saving
+    bf16 pre-activations from the forward trades ~0.2 ms of HBM for it
+    (net ~+0.2 ms/iter — marginal, unimplemented).
+  * the union-cache scatter-add (0.75 ms, 80k rows) is row-serial on
+    TPU; no cheaper formulation found (sort+cumsum costs more).
+
 Gradients produced: d(positions), d(c_geo), d(c_col), d(colour core
 weights).  The geometry core and both Fourier B matrices are treated as
 frozen (reference default: geometry decoders are never optimized,
