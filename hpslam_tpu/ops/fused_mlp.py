@@ -209,6 +209,59 @@ def _embed_col(p, Bc):
 
 
 # ---------------------------------------------------------------------------
+# in-kernel occupancy compositor (ops/composite.raw2outputs, occupancy
+# mode, with the no-neighbour -100 forcing folded in).  S is static and
+# small (N_surface=5): the cumulative products/suffix sums are unrolled
+# Python loops over columns, which Mosaic handles as plain VPU ops.
+
+def _comp_fwd(occ, rgb, z, pm, coef: float):
+    """(n,S) occ logits, (n,S,3) rgb, (n,S) z, (n,S) bool pm ->
+    (depth (n,), var (n,), color (n,3)) plus residuals for _comp_bwd."""
+    S = occ.shape[1]
+    occf = jnp.where(pm, occ, -100.0)
+    a = jax.nn.sigmoid(coef * occf)
+    ts = [jnp.ones_like(a[:, 0])]
+    for s_i in range(1, S):
+        ts.append(ts[-1] * (1.0 - a[:, s_i - 1] + 1e-10))
+    t = jnp.stack(ts, 1)
+    w = a * t
+    wsum = jnp.sum(w, 1) + 1e-10
+    color = jnp.sum(w[..., None] * rgb, 1) / wsum[:, None]
+    depth = jnp.sum(w * z, 1) / wsum
+    dv = z - depth[:, None]
+    var = jnp.sum(w * dv * dv, 1)
+    return depth, var, color, (a, t, w, wsum, depth, color, occf)
+
+
+def _comp_bwd(res, z, rgb, pm, coef: float, dD, dVar, dC):
+    """Backward of _comp_fwd wrt (occ, rgb); z/pm are constants."""
+    a, t, w, wsum, depth, color, occf = res
+    S = a.shape[1]
+    dv = z - depth[:, None]
+    # ddepth contribution of dVar (depth appears inside var)
+    sum_wdv = jnp.sum(w * dv, 1)                       # (n,)
+    dD_eff = dD + dVar * (-2.0 * sum_wdv)
+    # d w_s
+    dw = (dD_eff[:, None] * dv / wsum[:, None]
+          + jnp.einsum("nc,nsc->ns", dC,
+                       (rgb - color[:, None, :])) / wsum[:, None]
+          + dVar[:, None] * dv * dv)
+    # d rgb
+    drgb = (dC[:, None, :] * (w / wsum[:, None])[..., None])
+    # d a via w = a * t with t_u = prod_{j<u}(1 - a_j + 1e-10)
+    da_cols = []
+    suffix = jnp.zeros_like(a[:, 0])                   # sum_{u>s} dw_u w_u
+    for s_i in range(S - 1, -1, -1):
+        da_cols.append(dw[:, s_i] * t[:, s_i]
+                       - suffix / (1.0 - a[:, s_i] + 1e-10))
+        suffix = suffix + dw[:, s_i] * w[:, s_i]
+    da = jnp.stack(da_cols[::-1], 1)
+    docc = da * coef * a * (1.0 - a)
+    docc = jnp.where(pm, docc, 0.0)
+    return docc, drgb
+
+
+# ---------------------------------------------------------------------------
 # forward kernels
 
 

@@ -174,3 +174,47 @@ def test_map_scan_fused_matches_unfused(rng):
     diff = np.abs(f_fus - f_ref)
     assert np.quantile(diff, 0.99) < 5e-3, np.quantile(diff, 0.99)
     assert diff.max() < 0.2, diff.max()
+
+
+def test_comp_fwd_bwd_matches_reference(rng):
+    """In-kernel compositor helpers vs ops.composite.raw2outputs (+ its
+    autodiff) including the -100 no-neighbour forcing."""
+    from hpslam_tpu.ops import composite as Co
+
+    n, S = 257, 5
+    occ = jnp.asarray(rng.normal(0, 3, (n, S)).astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(0, 1, (n, S, 3)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(1.9, 2.1, (n, S)).astype(np.float32))
+    pm = jnp.asarray(rng.uniform(0, 1, (n, S)) > 0.2)
+    coef = 0.1
+
+    def ref(occ, rgb):
+        occf = jnp.where(pm, occ, -100.0)
+        raw = jnp.concatenate([rgb, occf[..., None]], -1)
+        d, v, c, _ = Co.raw2outputs(raw, z, jnp.zeros((n, 3)),
+                                    occupancy=True, coef=coef)
+        return d, v, c
+
+    d_r, v_r, c_r = ref(occ, rgb)
+    d_f, v_f, c_f, res = FM._comp_fwd(occ, rgb, z, pm, coef)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_r), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_r), rtol=1e-5,
+                               atol=1e-6)
+
+    dD = jnp.asarray(rng.normal(0, 1, (n,)).astype(np.float32))
+    dV = jnp.asarray(rng.normal(0, 1, (n,)).astype(np.float32))
+    dC = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
+
+    def scalar(occ, rgb):
+        d, v, c = ref(occ, rgb)
+        return jnp.sum(d * dD) + jnp.sum(v * dV) + jnp.sum(c * dC)
+
+    g_occ_r, g_rgb_r = jax.grad(scalar, argnums=(0, 1))(occ, rgb)
+    g_occ_f, g_rgb_f = FM._comp_bwd(res, z, rgb, pm, coef, dD, dV, dC)
+    np.testing.assert_allclose(np.asarray(g_occ_f), np.asarray(g_occ_r),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_rgb_f), np.asarray(g_rgb_r),
+                               rtol=2e-4, atol=1e-5)
