@@ -469,6 +469,22 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         c_all = jnp.where(pmf[:, None], c_all, 0.0)
         c_geo = c_all[:, :C]
         vmask = Dec.valid_ray_mask(pmf, S_pts, rcfg.N_surface)
+        if mcfg.fused_composite and Dec.fused_usable(mcfg):
+            # trunks + occupancy compositor in one kernel pair
+            # (ops/fused_mlp.nicer_fused_composite); exposure still
+            # applies to the composited colour outside, as below
+            from .ops import fused_mlp as FM
+            gd = pr[f"geo_{level}"]
+            cd = pr[f"col_{level}"]
+            depth, unc, color = FM.nicer_fused_composite(
+                c_geo, c_all[:, C:], pts, z, pm.astype(jnp.float32),
+                tuple(FM.flatten_core(gd["core"])),
+                tuple(FM.flatten_core(cd["core"])),
+                (gd["B"], cd["B"]), mcfg.n_blocks, mcfg.skip,
+                stage.startswith("color"), S_pts,
+                float(rcfg.sigmoid_coef), True,
+                not mcfg.encode_exposure)
+            return depth, unc, color, vmask
         if stage.startswith("color"):
             c_col = c_all[:, C:]
             if Dec.fused_usable(mcfg):

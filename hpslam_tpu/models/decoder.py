@@ -86,6 +86,11 @@ class ModelConfig:
     # (reference default) and no rel-pos/normals/view-direction encoding
     # is active — eval_stage falls back to the XLA path otherwise.
     fused_mlp: bool = False
+    # Additionally fold the per-ray occupancy compositor into the fused
+    # kernels on the mapper's union path (nicer_fused_composite) — the
+    # remaining iteration cost is inter-op scheduling latency.  Off by
+    # default pending TPU validation; requires fused_mlp.
+    fused_composite: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "ModelConfig":
@@ -95,6 +100,7 @@ class ModelConfig:
             c_dim=m["c_dim"],
             mm_bf16=m.get("mm_bf16", False),
             fused_mlp=_resolve_fused(m.get("fused_mlp", "auto")),
+            fused_composite=bool(m.get("fused_composite", False)),
             exposure_dim=m["exposure_dim"],
             min_nn_num=pc["min_nn_num"],
             nn_num=pc["nn_num"],

@@ -243,8 +243,8 @@ def _comp_bwd(res, z, rgb, pm, coef: float, dD, dVar, dC):
     dD_eff = dD + dVar * (-2.0 * sum_wdv)
     # d w_s
     dw = (dD_eff[:, None] * dv / wsum[:, None]
-          + jnp.einsum("nc,nsc->ns", dC,
-                       (rgb - color[:, None, :])) / wsum[:, None]
+          + jnp.sum(dC[:, None, :] * (rgb - color[:, None, :]), -1)
+          / wsum[:, None]
           + dVar[:, None] * dv * dv)
     # d rgb
     drgb = (dC[:, None, :] * (w / wsum[:, None])[..., None])
@@ -364,6 +364,117 @@ def _bwd_kernel(n_blocks, skip, n_geo, with_color, need_col_wgrads, exact,
     else:
         dcc_ref[:] = jnp.zeros_like(dcc_ref)
     dp_ref[:] = dp
+
+
+def _fwd_comp_kernel(n_blocks, skip, n_geo, with_color, exact, S, coef,
+                     sigmoid_rgb,
+                     p_ref, cg_ref, cc_ref, z_ref, pm_ref, Bg_ref, Bc_ref,
+                     *refs):
+    """Trunks + occupancy compositor in ONE kernel (mapper union path).
+
+    Block = bn_r whole rays = bn_r*S sample rows; refs = weights +
+    [depth_ref, var_ref, color_ref] outputs (ray rows)."""
+    depth_ref, var_ref, color_ref = refs[-3], refs[-2], refs[-1]
+    ws = [r[:] for r in refs[:-3]]
+    gws, cws = ws[:n_geo], ws[n_geo:]
+    p = p_ref[:]
+    bn_s = p.shape[0]
+    bn_r = bn_s // S
+    eg, _ = _embed_geo(p, Bg_ref[:])
+    occ = _trunk_fwd_block(eg, cg_ref[:], gws, n_blocks, skip, _RELU,
+                           exact=exact)[:, 0]
+    if with_color:
+        ec, _ = _embed_col(p, Bc_ref[:])
+        rgb = _trunk_fwd_block(ec, cc_ref[:], cws, n_blocks, skip,
+                               _SOFTPLUS100, exact=exact)
+        if sigmoid_rgb:
+            # encode_exposure=False composites SIGMOIDED per-sample rgb
+            # (apply_color tail); deferred-exposure composites raw
+            rgb = jax.nn.sigmoid(rgb)
+    else:
+        rgb = jnp.zeros((bn_s, 3), jnp.float32)
+    pm = pm_ref[:] > 0.5
+    d, v, c, _ = _comp_fwd(occ.reshape(bn_r, S), rgb.reshape(bn_r, S, 3),
+                           z_ref[:], pm, coef)
+    depth_ref[:] = d[:, None]
+    var_ref[:] = v[:, None]
+    color_ref[:] = c
+
+
+def _bwd_comp_kernel(n_blocks, skip, n_geo, with_color, need_wgrads, exact,
+                     S, coef, sigmoid_rgb,
+                     p_ref, cg_ref, cc_ref, z_ref, pm_ref, Bg_ref, Bc_ref,
+                     *refs):
+    """Backward of _fwd_comp_kernel: recompute trunks+compositor, chain
+    the per-ray cotangents through the compositor into the trunks.
+
+    refs = weights + [dD_ref, dV_ref, dC_ref] inputs (ray rows) +
+    [dcg_ref, dcc_ref] sample-row outputs + optional col wgrad outputs
+    (constant-index accumulation, see _bwd_kernel)."""
+    idx = 0
+    gws = [r[:] for r in refs[idx: idx + n_geo]]
+    idx += n_geo
+    n_colw = 2 * 2 * n_blocks + 2 if with_color else 0
+    cws = [r[:] for r in refs[idx: idx + n_colw]]
+    idx += n_colw
+    dD_ref = refs[idx]; idx += 1
+    dV_ref = refs[idx]; idx += 1
+    dC_ref = refs[idx]; idx += 1
+    dcg_ref = refs[idx]; idx += 1
+    dcc_ref = refs[idx]; idx += 1
+    dcol_refs = refs[idx:]
+
+    p = p_ref[:]
+    bn_s = p.shape[0]
+    bn_r = bn_s // S
+    cg = cg_ref[:]
+    eg, _ = _embed_geo(p, Bg_ref[:])
+    occ_out, saved_g = _trunk_fwd_block(eg, cg, gws, n_blocks, skip, _RELU,
+                                        save=True, exact=exact)
+    occ = occ_out[:, 0]
+    if with_color:
+        cc = cc_ref[:]
+        ec, _ = _embed_col(p, Bc_ref[:])
+        rgb_raw, saved_c = _trunk_fwd_block(ec, cc, cws, n_blocks, skip,
+                                            _SOFTPLUS100, save=True,
+                                            exact=exact)
+        rgb = jax.nn.sigmoid(rgb_raw) if sigmoid_rgb else rgb_raw
+    else:
+        rgb = jnp.zeros((bn_s, 3), jnp.float32)
+    pm = pm_ref[:] > 0.5
+    z = z_ref[:]
+    occ_r = occ.reshape(bn_r, S)
+    rgb_r = rgb.reshape(bn_r, S, 3)
+    _, _, _, res = _comp_fwd(occ_r, rgb_r, z, pm, coef)
+    docc, drgb = _comp_bwd(res, z, rgb_r, pm, coef,
+                           dD_ref[:][:, 0], dV_ref[:][:, 0], dC_ref[:])
+    g_occ = docc.reshape(bn_s, 1)
+    d_eg, d_cg, _ = _trunk_bwd_block(g_occ, eg, cg, gws, saved_g,
+                                     n_blocks, skip, _RELU, exact=exact)
+    dcg_ref[:] = d_cg
+    if with_color:
+        g_rgb = drgb.reshape(bn_s, 3)
+        if sigmoid_rgb:
+            sg = rgb.reshape(bn_s, 3)
+            g_rgb = g_rgb * sg * (1.0 - sg)
+        d_ec, d_cc, d_cws = _trunk_bwd_block(
+            g_rgb, ec, cc, cws, saved_c, n_blocks, skip, _SOFTPLUS100,
+            exact=exact)
+        dcc_ref[:] = d_cc
+        if need_wgrads:
+            first = pl.program_id(0) == 0
+            for r, d in zip(dcol_refs, d_cws):
+                d2 = d if d.ndim == 2 else d.reshape(1, -1)
+
+                @pl.when(first)
+                def _(r=r, d2=d2):
+                    r[:] = d2
+
+                @pl.when(jnp.logical_not(first))
+                def _(r=r, d2=d2):
+                    r[:] = r[:] + d2
+    else:
+        dcc_ref[:] = jnp.zeros_like(dcc_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -554,3 +665,184 @@ def _geo_bwd(n_blocks, skip, exact, need_dp, res, g_occ):
 
 
 nicer_fused_geo.defvjp(_geo_fwd, _geo_bwd)
+
+
+# ---------------------------------------------------------------------------
+# composite-fused public op (mapper union path): trunks + occupancy
+# compositor in one kernel pair.  Sample positions / z / pm are phase
+# constants; differentiable in c_geo, c_col and (optionally) the colour
+# core weights.
+
+def _pick_bn_rays(n_rays: int, S: int) -> int:
+    cap = max(8, 1024 // S)
+    for bn in range(min(cap, n_rays), 7, -1):
+        if n_rays % bn == 0 and bn % 8 == 0 and (bn * S) % 8 == 0:
+            return bn
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_blocks", "skip", "with_color", "S", "coef", "exact",
+    "sigmoid_rgb"))
+def _fused_comp_fwd(p, c_geo, c_col, z, pm, Bg, Bc, geo_flat, col_flat,
+                    n_blocks: int, skip: int, with_color: bool, S: int,
+                    coef: float, exact: bool = False,
+                    sigmoid_rgb: bool = False):
+    n_r = z.shape[0]
+    bn_r = _pick_bn_rays(n_r, S)
+    nr_pad = -(-n_r // bn_r) * bn_r
+    ns_pad = nr_pad * S
+    pp = _pad_rows(p, ns_pad)
+    cg = _pad_rows(c_geo, ns_pad)
+    cc = _pad_rows(c_col, ns_pad)
+    zz = _pad_rows(z, nr_pad)
+    pmf = _pad_rows(pm.astype(jnp.float32), nr_pad)
+    grid = (nr_pad // bn_r,)
+
+    def srow(width):
+        return pl.BlockSpec((bn_r * S, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rrow(width):
+        return pl.BlockSpec((bn_r, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    w_all = list(geo_flat) + (list(col_flat) if with_color else [])
+    w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
+    kern = functools.partial(_fwd_comp_kernel, n_blocks, skip,
+                             len(geo_flat), with_color, exact, S, coef,
+                             sigmoid_rgb)
+    d, v, c = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[srow(3), srow(cg.shape[1]), srow(cc.shape[1]),
+                  rrow(S), rrow(S), full_spec(Bg), full_spec(Bc)]
+        + [full_spec(w) for w in w2],
+        out_specs=[rrow(1), rrow(1), rrow(3)],
+        out_shape=[jax.ShapeDtypeStruct((nr_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nr_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nr_pad, 3), jnp.float32)],
+        interpret=_interpret(),
+    )(pp, cg, cc, zz, pmf, Bg, Bc, *w2)
+    return d[:n_r, 0], v[:n_r, 0], c[:n_r]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_blocks", "skip", "with_color", "S", "coef", "need_wgrads", "exact",
+    "sigmoid_rgb"))
+def _fused_comp_bwd(p, c_geo, c_col, z, pm, Bg, Bc, geo_flat, col_flat,
+                    dD, dV, dC, n_blocks: int, skip: int, with_color: bool,
+                    S: int, coef: float, need_wgrads: bool,
+                    exact: bool = False, sigmoid_rgb: bool = False):
+    n_r = z.shape[0]
+    bn_r = _pick_bn_rays(n_r, S)
+    nr_pad = -(-n_r // bn_r) * bn_r
+    ns_pad = nr_pad * S
+    pp = _pad_rows(p, ns_pad)
+    cg = _pad_rows(c_geo, ns_pad)
+    cc = _pad_rows(c_col, ns_pad)
+    zz = _pad_rows(z, nr_pad)
+    pmf = _pad_rows(pm.astype(jnp.float32), nr_pad)
+    gD = _pad_rows(dD.reshape(-1, 1), nr_pad)
+    gV = _pad_rows(dV.reshape(-1, 1), nr_pad)
+    gC = _pad_rows(dC, nr_pad)
+    grid = (nr_pad // bn_r,)
+
+    def srow(width):
+        return pl.BlockSpec((bn_r * S, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def rrow(width):
+        return pl.BlockSpec((bn_r, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    w_all = list(geo_flat) + (list(col_flat) if with_color else [])
+    w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
+    col2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in col_flat]
+
+    out_shapes = [jax.ShapeDtypeStruct((ns_pad, cg.shape[1]), jnp.float32),
+                  jax.ShapeDtypeStruct((ns_pad, cc.shape[1]), jnp.float32)]
+    out_specs = [srow(cg.shape[1]), srow(cc.shape[1])]
+    if with_color and need_wgrads:
+        for w in col2:
+            out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+            out_specs.append(full_spec(w))
+
+    kern = functools.partial(_bwd_comp_kernel, n_blocks, skip,
+                             len(geo_flat), with_color, need_wgrads, exact,
+                             S, coef, sigmoid_rgb)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[srow(3), srow(cg.shape[1]), srow(cc.shape[1]),
+                  rrow(S), rrow(S), full_spec(Bg), full_spec(Bc)]
+        + [full_spec(w) for w in w2] + [rrow(1), rrow(1), rrow(3)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(pp, cg, cc, zz, pmf, Bg, Bc, *w2, gD, gV, gC)
+    n_s = n_r * S
+    dcg = outs[0][:n_s]
+    dcc = outs[1][:n_s]
+    if with_color and need_wgrads:
+        dcol = [d.reshape(w.shape) for d, w in zip(outs[2:], col_flat)]
+        dcol = jax.tree.unflatten(jax.tree.structure(tuple(col_flat)),
+                                  dcol)
+    else:
+        dcol = jax.tree.map(jnp.zeros_like, tuple(col_flat))
+    return dcg, dcc, dcol
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def nicer_fused_composite(c_geo, c_col, p, z, pm, geo_core_flat,
+                          col_core_flat, Bs, n_blocks: int, skip: int,
+                          with_color: bool, S: int, coef: float,
+                          need_wgrads: bool = True,
+                          sigmoid_rgb: bool = False):
+    """Trunks + occupancy compositor fused: returns (depth (n_r,),
+    depth_var (n_r,), raw composited colour (n_r, 3)).
+
+    Differentiable in c_geo, c_col and the colour core weights; p/z/pm
+    (f32; pm as 0/1 floats) and the geometry core / Fourier Bs receive
+    zero cotangents (phase constants / frozen — mapper union path only)."""
+    Bg, Bc = Bs
+    return _fused_comp_fwd(p, c_geo, c_col, z, pm, Bg, Bc,
+                           tuple(geo_core_flat), tuple(col_core_flat),
+                           n_blocks, skip, with_color, S, coef,
+                           sigmoid_rgb=sigmoid_rgb)
+
+
+def _ncomp_fwd(c_geo, c_col, p, z, pm, geo_core_flat, col_core_flat, Bs,
+               n_blocks, skip, with_color, S, coef, need_wgrads=True,
+               sigmoid_rgb=False):
+    out = nicer_fused_composite(c_geo, c_col, p, z, pm, geo_core_flat,
+                                col_core_flat, Bs, n_blocks, skip,
+                                with_color, S, coef, need_wgrads,
+                                sigmoid_rgb)
+    return out, (c_geo, c_col, p, z, pm, geo_core_flat, col_core_flat, Bs)
+
+
+def _ncomp_bwd(n_blocks, skip, with_color, S, coef, need_wgrads,
+               sigmoid_rgb, res, g):
+    c_geo, c_col, p, z, pm, geo_flat, col_flat, (Bg, Bc) = res
+    dD, dV, dC = g
+    dcg, dcc, dcol = _fused_comp_bwd(
+        p, c_geo, c_col, z, pm, Bg, Bc, tuple(geo_flat), tuple(col_flat),
+        dD, dV, dC, n_blocks, skip, with_color, S, coef, need_wgrads,
+        sigmoid_rgb=sigmoid_rgb)
+    return (dcg, dcc, jnp.zeros_like(p), jnp.zeros_like(z),
+            jnp.zeros_like(pm),
+            jax.tree.map(jnp.zeros_like, geo_flat), dcol,
+            (jnp.zeros_like(Bg), jnp.zeros_like(Bc)))
+
+
+nicer_fused_composite.defvjp(_ncomp_fwd, _ncomp_bwd)

@@ -218,3 +218,143 @@ def test_comp_fwd_bwd_matches_reference(rng):
                                rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_rgb_f), np.asarray(g_rgb_r),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_fused_composite_matches_chain(rng):
+    """nicer_fused_composite (trunks + compositor in one kernel pair) vs
+    the separate fused trunks + ops.composite chain: values and all
+    gradients (c_geo, c_col, colour core)."""
+    from hpslam_tpu.ops import composite as Co
+
+    cfg = Dec.ModelConfig()
+    params = Dec.init_nicer(jax.random.PRNGKey(3), cfg)
+    n_r, S = 48, 5
+    n = n_r * S
+    p = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    cg = jnp.asarray(rng.normal(0, 0.3, (n, cfg.c_dim)).astype(np.float32))
+    cc = jnp.asarray(rng.normal(0, 0.3, (n, cfg.c_dim)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(1.9, 2.1, (n_r, S)).astype(np.float32))
+    pm = jnp.asarray((rng.uniform(0, 1, (n_r, S)) > 0.2)
+                     .astype(np.float32))
+    geo_flat = tuple(FM.flatten_core(params["geo_fine"]["core"]))
+    Bs = (params["geo_fine"]["B"], params["col_fine"]["B"])
+    coef = 0.1
+
+    def chain(cg_, cc_, core):
+        col_flat = tuple(FM.flatten_core(core))
+        occ, rgb = FM.nicer_fused_color(p, cg_, cc_, geo_flat, col_flat,
+                                        Bs, cfg.n_blocks, cfg.skip, True)
+        occf = jnp.where(pm.reshape(-1) > 0.5, occ, -100.0)
+        raw = jnp.concatenate([rgb, occf[:, None]], -1).reshape(n_r, S, 4)
+        d, v, c, _ = Co.raw2outputs(raw, z, jnp.zeros((n_r, 3)),
+                                    occupancy=True, coef=coef)
+        return d, v, c
+
+    def fused(cg_, cc_, core):
+        col_flat = tuple(FM.flatten_core(core))
+        return FM.nicer_fused_composite(
+            cg_, cc_, p, z, pm, geo_flat, col_flat, Bs,
+            cfg.n_blocks, cfg.skip, True, S, coef)
+
+    core0 = params["col_fine"]["core"]
+    d_r, v_r, c_r = chain(cg, cc, core0)
+    d_f, v_f, c_f = fused(cg, cc, core0)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_r),
+                               rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_r),
+                               rtol=2e-4, atol=2e-4)
+
+    dD = jnp.asarray(rng.normal(0, 1, (n_r,)).astype(np.float32))
+    dC = jnp.asarray(rng.normal(0, 1, (n_r, 3)).astype(np.float32))
+
+    def loss_of(f):
+        def go(cg_, cc_, core):
+            d, v, c = f(cg_, cc_, core)
+            # unc is stop-gradded in both engines; test d + c paths
+            return jnp.sum(d * dD) + jnp.sum(c * dC)
+        return go
+
+    g_r = jax.grad(loss_of(chain), argnums=(0, 1, 2))(cg, cc, core0)
+    g_f = jax.grad(loss_of(fused), argnums=(0, 1, 2))(cg, cc, core0)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_r[0]),
+                               rtol=3e-3, atol=3e-4, err_msg="dc_geo")
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_r[1]),
+                               rtol=3e-3, atol=3e-4, err_msg="dc_col")
+    for a, b in zip(jax.tree.leaves(g_f[2]), jax.tree.leaves(g_r[2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-4,
+                                   err_msg="d col core")
+
+
+def test_map_scan_fused_composite_matches(rng):
+    """map_scan with fused_composite must track the fused-trunks-only
+    trajectory (same schedule/PRNG; both use bf16-pass matmuls)."""
+    import dataclasses as dc
+    from tests.test_engines import small_cfg, wall_level
+    from hpslam_tpu.mapper import (build_pixel_union_cache,
+                                   pack_union_cache, map_scan)
+    from hpslam_tpu.ops import knn as K
+    from hpslam_tpu.ops import optim as Opt
+    from hpslam_tpu import renderer as R
+
+    mcfg = small_cfg()
+    rcfg = R.RenderConfig(sample_near_pcl=False,
+                          near_end_surface=0.96, far_end_surface=1.04)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+    H, W, F = 24, 32, 2
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                     -np.ones_like(ii, float)], -1)
+    depth = (2.0 / -dirs[..., 2]).astype(np.float32)
+    color_img = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    colors = jnp.asarray(np.broadcast_to(color_img, (F, H, W, 3)).copy())
+    depths = jnp.asarray(np.broadcast_to(depth, (F, H, W)).copy())
+    c2ws = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (F, 1, 1)))
+    rq = jnp.asarray(np.full((F, H, W), 0.4, np.float32))
+    pools = jnp.asarray(np.broadcast_to(
+        np.arange(H * W, dtype=np.int32), (F, H * W)).copy())
+    pool_lens = jnp.asarray(np.full((F,), H * W, np.int32))
+    expo = jnp.asarray(np.zeros((F, 8), np.float32))
+    idx = K.build_tiles(pos, count)
+    S_, k_ = rcfg.N_surface, mcfg.nn_num
+    key = jax.random.PRNGKey(7)
+
+    def run(comp: bool):
+        mc = dc.replace(mcfg, fused_mlp=True, fused_composite=comp)
+        op = {"feat": jnp.concatenate([geo, col], 1)}
+        ost = Opt.init(op)
+        cp, uids, Wm, pm, cconst = build_pixel_union_cache(
+            key, depths, c2ws, pools, pool_lens, rq, idx,
+            jnp.int32(pos.shape[0]), P=128, S=S_, k=k_, u_max=S_ * k_,
+            H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+            near_surface=0.96, far_surface=1.04,
+            min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
+            colors=colors)
+        packed = pack_union_cache(cconst, Wm, pm, uids)
+        n_it = 4
+        stage_ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
+        lr_table = jnp.tile(jnp.asarray([[0.0, 0.03, 0.005, 0.0]],
+                                        jnp.float32), (n_it, 1))
+        op, _, losses = map_scan(
+            params, mc, rcfg, op, ost, key,
+            colors, depths, c2ws, rq,
+            cp, None, uids, expo,
+            pos, count,
+            stage_ids, lr_table, jnp.int32(F),
+            level="fine", n_rays=64, F_max=F, H=H, W=W,
+            fx=fx, fy=fy, cx=cx, cy=cy,
+            n_iters=n_it, use_exposure=False,
+            opt_color_dec=False, opt_geo_dec=False, w_color=0.1,
+            use_union=True, cache_packed=packed, geo_iters=2)
+        return np.asarray(losses), np.asarray(op["feat"])
+
+    l_ref, f_ref = run(False)
+    l_cmp, f_cmp = run(True)
+    np.testing.assert_allclose(l_cmp, l_ref, rtol=3e-3, atol=3e-3)
+    diff = np.abs(f_cmp - f_ref)
+    assert np.quantile(diff, 0.99) < 5e-3, np.quantile(diff, 0.99)
