@@ -88,8 +88,13 @@ class ModelConfig:
     fused_mlp: bool = False
     # Additionally fold the per-ray occupancy compositor into the fused
     # kernels on the mapper's union path (nicer_fused_composite) — the
-    # remaining iteration cost is inter-op scheduling latency.  Off by
-    # default pending TPU validation; requires fused_mlp.
+    # remaining iteration cost is inter-op scheduling latency.  STATUS:
+    # CPU-validated (values + grads vs the separate chain); on TPU the
+    # FORWARD kernel compiles and runs but Mosaic rejects the BACKWARD —
+    # suspected culprit is its ray-major -> sample-major relayout
+    # ((bn_r, S) -> (bn_r*S, 1) for the trunk cotangents), the one op
+    # class the forward does not perform.  Keep OFF until that lowering
+    # is reworked (e.g. strided stores or an S-padded lane layout).
     fused_composite: bool = False
 
     @classmethod

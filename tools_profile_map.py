@@ -72,10 +72,11 @@ def main():
 
     def run(tag, n_rays=MAP_RAYS, u_max=16, stage=1, use_exposure=True,
             opt_color_dec=True, U_override=None, n_iters=N_IT,
-            w_color=0.1, bf16=False, fused=False):
+            w_color=0.1, bf16=False, fused=False, comp=False):
         mc = Dec.ModelConfig(encode_exposure=True,
                              encode_rel_pos_in_col=False,
-                             mm_bf16=bf16, fused_mlp=fused)
+                             mm_bf16=bf16, fused_mlp=fused,
+                             fused_composite=comp)
         cache_pix, uids, Wm, pmask, cache_const = build_pixel_union_cache(
             key, depths, c2ws, pools, pool_lens, rq_stack,
             index, jnp.int32(CAP_FINE),
@@ -144,6 +145,8 @@ def main():
         ("color u8 fused", dict(u_max=8, fused=True)),
         ("geometry u8 fused", dict(stage=0, u_max=8, fused=True)),
         ("color u8 fused no-dec-opt", dict(u_max=8, fused=True, opt_color_dec=False)),
+        ("color u8 comp", dict(u_max=8, fused=True, comp=True)),
+        ("geometry u8 comp", dict(stage=0, u_max=8, fused=True, comp=True)),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for tag, kw in variants:
