@@ -87,14 +87,13 @@ class ModelConfig:
     # is active — eval_stage falls back to the XLA path otherwise.
     fused_mlp: bool = False
     # Additionally fold the per-ray occupancy compositor into the fused
-    # kernels on the mapper's union path (nicer_fused_composite) — the
-    # remaining iteration cost is inter-op scheduling latency.  STATUS:
-    # CPU-validated (values + grads vs the separate chain); on TPU the
-    # FORWARD kernel compiles and runs but Mosaic rejects the BACKWARD —
-    # suspected culprit is its ray-major -> sample-major relayout
-    # ((bn_r, S) -> (bn_r*S, 1) for the trunk cotangents), the one op
-    # class the forward does not perform.  Keep OFF until that lowering
-    # is reworked (e.g. strided stores or an S-padded lane layout).
+    # FORWARD kernel on the mapper's union path (nicer_fused_composite);
+    # the backward runs the small compositor bwd in XLA on saved occ/rgb
+    # residuals + the existing trunk bwd kernel (Mosaic rejects a fully
+    # fused backward: the ray-major -> sample-major cotangent relayout).
+    # MEASURED A WASH on TPU v5e (colour 4.45 vs 4.55 ms/iter, geometry
+    # 3.76 vs 3.51 — residual outputs + XLA comp bwd offset the folded
+    # fwd ops), so OFF by default; CPU-validated values + grads.
     fused_composite: bool = False
 
     @classmethod

@@ -373,9 +373,11 @@ def _fwd_comp_kernel(n_blocks, skip, n_geo, with_color, exact, S, coef,
     """Trunks + occupancy compositor in ONE kernel (mapper union path).
 
     Block = bn_r whole rays = bn_r*S sample rows; refs = weights +
-    [depth_ref, var_ref, color_ref] outputs (ray rows)."""
-    depth_ref, var_ref, color_ref = refs[-3], refs[-2], refs[-1]
-    ws = [r[:] for r in refs[:-3]]
+    [depth_ref, var_ref, color_ref (ray rows), occ_ref, rgb_ref (sample
+    rows — residuals for the XLA-side compositor backward)]."""
+    depth_ref, var_ref, color_ref = refs[-5], refs[-4], refs[-3]
+    occ_ref, rgb_ref = refs[-2], refs[-1]
+    ws = [r[:] for r in refs[:-5]]
     gws, cws = ws[:n_geo], ws[n_geo:]
     p = p_ref[:]
     bn_s = p.shape[0]
@@ -399,6 +401,8 @@ def _fwd_comp_kernel(n_blocks, skip, n_geo, with_color, exact, S, coef,
     depth_ref[:] = d[:, None]
     var_ref[:] = v[:, None]
     color_ref[:] = c
+    occ_ref[:] = occ[:, None]
+    rgb_ref[:] = rgb
 
 
 def _bwd_comp_kernel(n_blocks, skip, n_geo, with_color, need_wgrads, exact,
@@ -716,19 +720,23 @@ def _fused_comp_fwd(p, c_geo, c_col, z, pm, Bg, Bc, geo_flat, col_flat,
     kern = functools.partial(_fwd_comp_kernel, n_blocks, skip,
                              len(geo_flat), with_color, exact, S, coef,
                              sigmoid_rgb)
-    d, v, c = pl.pallas_call(
+    d, v, c, occ, rgb = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[srow(3), srow(cg.shape[1]), srow(cc.shape[1]),
                   rrow(S), rrow(S), full_spec(Bg), full_spec(Bc)]
         + [full_spec(w) for w in w2],
-        out_specs=[rrow(1), rrow(1), rrow(3)],
+        out_specs=[rrow(1), rrow(1), rrow(3), srow(1), srow(3)],
         out_shape=[jax.ShapeDtypeStruct((nr_pad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((nr_pad, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((nr_pad, 3), jnp.float32)],
+                   jax.ShapeDtypeStruct((nr_pad, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((ns_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((ns_pad, 3), jnp.float32)],
         interpret=_interpret(),
     )(pp, cg, cc, zz, pmf, Bg, Bc, *w2)
-    return d[:n_r, 0], v[:n_r, 0], c[:n_r]
+    n_s = n_r * S
+    return (d[:n_r, 0], v[:n_r, 0], c[:n_r],
+            occ[:n_s, 0], rgb[:n_s])
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -813,32 +821,59 @@ def nicer_fused_composite(c_geo, c_col, p, z, pm, geo_core_flat,
 
     Differentiable in c_geo, c_col and the colour core weights; p/z/pm
     (f32; pm as 0/1 floats) and the geometry core / Fourier Bs receive
-    zero cotangents (phase constants / frozen — mapper union path only)."""
+    zero cotangents (phase constants / frozen — mapper union path only).
+
+    Backward strategy: Mosaic rejects the fully-fused backward kernel
+    (the ray-major -> sample-major cotangent relayout), so the VJP runs
+    the small per-ray compositor backward in XLA on the forward's saved
+    occ/rgb residuals and chains into the existing trunk backward kernel
+    — the forward op-count win is kept, the compositor bwd stays ~12
+    XLA ops."""
     Bg, Bc = Bs
-    return _fused_comp_fwd(p, c_geo, c_col, z, pm, Bg, Bc,
-                           tuple(geo_core_flat), tuple(col_core_flat),
-                           n_blocks, skip, with_color, S, coef,
-                           sigmoid_rgb=sigmoid_rgb)
+    d, v, c, _occ, _rgb = _fused_comp_fwd(
+        p, c_geo, c_col, z, pm, Bg, Bc,
+        tuple(geo_core_flat), tuple(col_core_flat),
+        n_blocks, skip, with_color, S, coef, sigmoid_rgb=sigmoid_rgb)
+    return d, v, c
 
 
 def _ncomp_fwd(c_geo, c_col, p, z, pm, geo_core_flat, col_core_flat, Bs,
                n_blocks, skip, with_color, S, coef, need_wgrads=True,
                sigmoid_rgb=False):
-    out = nicer_fused_composite(c_geo, c_col, p, z, pm, geo_core_flat,
-                                col_core_flat, Bs, n_blocks, skip,
-                                with_color, S, coef, need_wgrads,
-                                sigmoid_rgb)
-    return out, (c_geo, c_col, p, z, pm, geo_core_flat, col_core_flat, Bs)
+    Bg, Bc = Bs
+    d, v, c, occ, rgb = _fused_comp_fwd(
+        p, c_geo, c_col, z, pm, Bg, Bc,
+        tuple(geo_core_flat), tuple(col_core_flat),
+        n_blocks, skip, with_color, S, coef, sigmoid_rgb=sigmoid_rgb)
+    return (d, v, c), (c_geo, c_col, p, z, pm, geo_core_flat,
+                       col_core_flat, Bs, occ, rgb)
 
 
 def _ncomp_bwd(n_blocks, skip, with_color, S, coef, need_wgrads,
                sigmoid_rgb, res, g):
-    c_geo, c_col, p, z, pm, geo_flat, col_flat, (Bg, Bc) = res
+    (c_geo, c_col, p, z, pm, geo_flat, col_flat, (Bg, Bc),
+     occ, rgb) = res
     dD, dV, dC = g
-    dcg, dcc, dcol = _fused_comp_bwd(
-        p, c_geo, c_col, z, pm, Bg, Bc, tuple(geo_flat), tuple(col_flat),
-        dD, dV, dC, n_blocks, skip, with_color, S, coef, need_wgrads,
-        sigmoid_rgb=sigmoid_rgb)
+    n_r = z.shape[0]
+    pmb = pm > 0.5
+    occ_r = occ.reshape(n_r, S)
+    rgb_r = rgb.reshape(n_r, S, 3)
+    _, _, _, comp_res = _comp_fwd(occ_r, rgb_r, z, pmb, coef)
+    docc, drgb = _comp_bwd(comp_res, z, rgb_r, pmb, coef, dD, dV, dC)
+    g_occ = docc.reshape(-1)
+    g_rgb = drgb.reshape(-1, 3)
+    if sigmoid_rgb and with_color:
+        # rgb residual is POST-sigmoid; chain through it
+        g_rgb = g_rgb * rgb * (1.0 - rgb)
+    _dp, dcg, dcc, dcol = _fused_bwd(
+        p, c_geo, c_col, Bg, Bc, tuple(geo_flat), tuple(col_flat),
+        g_occ, g_rgb, n_blocks, skip, with_color,
+        with_color and need_wgrads, need_dp=False)
+    if not (with_color and need_wgrads):
+        dcol = [jnp.zeros_like(w) for w in col_flat]
+    dcol = jax.tree.unflatten(jax.tree.structure(tuple(col_flat)),
+                              list(dcol) if not isinstance(dcol, tuple)
+                              else list(dcol))
     return (dcg, dcc, jnp.zeros_like(p), jnp.zeros_like(z),
             jnp.zeros_like(pm),
             jax.tree.map(jnp.zeros_like, geo_flat), dcol,
