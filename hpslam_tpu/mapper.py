@@ -102,11 +102,13 @@ def keyframe_selection_overlap(rng: np.random.Generator, depth: np.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("P", "S", "k", "H", "W",
                                               "fx", "fy", "cx", "cy",
-                                              "near_surface", "far_surface"))
+                                              "near_surface", "far_surface",
+                                              "mesh"))
 def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, tile_index,
                           P: int, S: int, k: int, H: int, W: int,
                           fx: float, fy: float, cx: float, cy: float,
-                          near_surface: float, far_surface: float):
+                          near_surface: float, far_surface: float,
+                          mesh=None):
     """Per-mapped-frame neighbour cache: for each window frame, P cached
     pixels x S depth-guided samples get one kNN against the level's cloud.
 
@@ -143,14 +145,21 @@ def build_pixel_knn_cache(key, depths, c2ws, pools, pool_lens, tile_index,
 
     pix, queries = jax.lax.map(frame_queries, jnp.arange(F))
     from .ops import knn as Knn
-    D, I = Knn.knn_tiles(queries.reshape(-1, 3), *tile_index, k=k)
+    from .parallel.mesh import shard_batch
+    q = queries.reshape(-1, 3)
+    if mesh is None:
+        D, I = Knn.knn_tiles(q, *tile_index, k=k)
+    else:
+        # dp-sharded phase search (see tracker.stage_knn)
+        q = shard_batch(mesh, q)
+        D, I = Knn.knn_tiles(q, *tile_index, k=k, q_chunk=q.shape[0])
     return pix, D.reshape(F, P, S, k), I.reshape(F, P, S, k)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "P", "S", "k", "u_max", "H", "W", "fx", "fy", "cx", "cy",
     "near_surface", "far_surface", "min_nn", "weighting", "fix_interval",
-    "knn_probe"))
+    "knn_probe", "mesh"))
 def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
                             tile_index, capacity,
                             P: int, S: int, k: int, u_max: int,
@@ -159,7 +168,7 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
                             near_surface: float, far_surface: float,
                             min_nn: int, weighting: str,
                             colors=None, fix_interval: bool = False,
-                            knn_probe: int = 16):
+                            knn_probe: int = 16, mesh=None):
     """Union-dedup variant of the pixel cache (non-BA fast path).
 
     The S depth-guided samples of one ray share most of their k neighbours,
@@ -220,10 +229,17 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
         "d_gt": d_all.reshape(F * P),
         "c_gt": c_all.reshape(F * P, 3),
     }
-    D, I = Knn.knn_tiles(queries.reshape(-1, 3), *tile_index, k=k,
-                         probe=knn_probe)
+    from .parallel.mesh import shard_batch
+    qf = queries.reshape(-1, 3)
+    if mesh is None:
+        D, I = Knn.knn_tiles(qf, *tile_index, k=k, probe=knn_probe)
+    else:
+        # dp-sharded phase search + weight build (see tracker.stage_knn)
+        qf = shard_batch(mesh, qf)
+        D, I = Knn.knn_tiles(qf, *tile_index, k=k, probe=knn_probe,
+                             q_chunk=qf.shape[0])
     rq_rep = jnp.repeat(rqs.reshape(-1), S, axis=0)
-    w, has = IT.interp_weights(D, I, queries.reshape(-1, 3), None, rq_rep,
+    w, has = IT.interp_weights(D, I, qf, None, rq_rep,
                                min_nn, weighting, diff_pos=False)
     w = w[..., 0]  # (F*P*S, k)
 
@@ -252,8 +268,9 @@ def build_pixel_union_cache(key, depths, c2ws, pools, pool_lens, rq_stack,
         uids = jnp.where(twk > 0, uid_slot[sel], capacity)
         return uids.astype(jnp.int32), Wm
 
-    ids = I.reshape(F * P, SK)
-    uids, Wm = jax.vmap(unionize)(ids, w.reshape(F * P, S, k))
+    ids, w_r = shard_batch(mesh, I.reshape(F * P, SK),
+                           w.reshape(F * P, S, k))
+    uids, Wm = jax.vmap(unionize)(ids, w_r)
     return (pix,
             uids.reshape(F, P, u_max),
             Wm.reshape(F, P, S, u_max),
@@ -332,7 +349,7 @@ def unique_bucket(n: int, cap: int) -> int:
     static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
                      "fx", "fy", "cx", "cy", "n_iters", "use_exposure",
                      "opt_color_dec", "opt_geo_dec", "w_color", "use_ba",
-                     "use_union", "geo_iters"),
+                     "use_union", "geo_iters", "mesh"),
     donate_argnames=("opt_params", "opt_state"))
 def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              opt_params, opt_state, key,
@@ -347,7 +364,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
              opt_geo_dec: bool, w_color: float, use_ba: bool = False,
              cam_trainable=None, use_union: bool = False,
-             cache_packed=None, geo_iters: int = -1):
+             cache_packed=None, geo_iters: int = -1, mesh=None):
     """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
     stages).
 
@@ -375,9 +392,15 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     (see pack_union_cache); cacheI is still passed for its static u_max
     geo_iters: host-known count of leading geometry iterations; >= 0
     selects the per-stage static scans (no per-iteration lax.switch)
+    mesh: optional jax.sharding.Mesh — PRODUCTION multi-chip path: the
+    per-iteration ray batch (cache-row gathers and everything downstream)
+    is pinned to the mesh's ``dp`` axis; GSPMD partitions the per-ray
+    render work and psums the feature/decoder gradients over ICI.  The
+    compact feature table, decoders, and Adam state stay replicated.
 
     Returns (opt_params, opt_state, losses (n_iters, 2) [geo, color]).
     """
+    from .parallel.mesh import shard_batch
 
     def merged_params(op):
         pr = dict(params)
@@ -412,10 +435,11 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         fid = (jax.lax.broadcasted_iota(jnp.int32, (n_rays, 1), 0)[:, 0]
                % F_actual)
         slot = jax.random.randint(k, (n_rays,), 0, P)
+        fid, slot = shard_batch(mesh, fid, slot)
         if use_union:
             # ONE packed-row gather feeds the whole iteration (see
             # pack_union_cache); slicing a gathered row is sequential reads
-            row = cache_packed[fid * P + slot]        # (n, D)
+            row = shard_batch(mesh, cache_packed[fid * P + slot])  # (n, D)
             S_, u = S_c, u_sz
             o = 0
             z = row[:, o:o + S_]; o += S_
@@ -444,6 +468,9 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         kk = cacheD.shape[-1]
         kcache = (cacheD[fid, slot].reshape(-1, kk),
                   cacheI[fid, slot].reshape(-1, kk))
+        rays_o, rays_d, d_gt, c_gt, rq = shard_batch(
+            mesh, rays_o, rays_d, d_gt, c_gt, rq)
+        kcache = shard_batch(mesh, *kcache)
         return fid, rays_o, rays_d, d_gt, c_gt, rq, kcache
 
     def render_union(pr, stage, rays_d, z, pts3, feat_c, kcache):
@@ -1035,6 +1062,14 @@ class Mapper:
             stage_ids, lr_table = schedules[level]
             if stage_ids.size == 0:
                 continue
+            # map_scan's static geo/color split requires a contiguous
+            # geometry-then-colour schedule (build_schedule guarantees it;
+            # assert here so an interleaved schedule can't silently run
+            # iterations under the wrong stage)
+            n_geo = int(np.sum(stage_ids == 0))
+            assert (stage_ids[:n_geo] == 0).all() and \
+                (stage_ids[n_geo:] == 1).all(), \
+                "map_scan static split needs contiguous geometry prefix"
             lv = npc.levels[level]
             cacheD = cacheWm = cachePmask = cache_const = None
             if use_union:
@@ -1053,7 +1088,8 @@ class Mapper:
                         weighting=slam.mcfg.weighting,
                         colors=colors, fix_interval=self.rcfg.fix_interval,
                         knn_probe=int(self.cfg["mapping"].get("knn_probe",
-                                                              12)))
+                                                              12)),
+                        mesh=getattr(slam, "mesh", None))
             else:
                 cache_pix, cacheD, cacheI = build_pixel_knn_cache(
                     keys[2 + phase_i], depths_j, c2ws_j, pools_j,
@@ -1062,7 +1098,8 @@ class Mapper:
                     k=self.rcfg.nn_num, H=H, W=W,
                     fx=slam.fx, fy=slam.fy, cx=slam.cx, cy=slam.cy,
                     near_surface=self.rcfg.near_end_surface,
-                    far_surface=self.rcfg.far_end_surface)
+                    far_surface=self.rcfg.far_end_surface,
+                    mesh=getattr(slam, "mesh", None))
             # compact the scene to the rows this phase can touch (see
             # compact_scene) — the scan's Adam then runs over U rows
             # instead of the full capacity
@@ -1110,7 +1147,7 @@ class Mapper:
                 cache_pix=cache_pix, cacheD=cacheD, cacheI=cacheI,
                 pos=pos_c, count=jnp.int32(U),
                 stage_ids=jnp.asarray(stage_ids),
-                geo_iters=int(np.sum(stage_ids == 0)),
+                geo_iters=n_geo,
                 lr_table=jnp.asarray(lr_table),
                 F_actual=jnp.int32(F_actual), level=level,
                 n_rays=n_rays, F_max=F_max, H=H, W=W,
@@ -1120,7 +1157,8 @@ class Mapper:
                 w_color=self.w_color, use_ba=use_ba,
                 cam_trainable=(jnp.asarray(cam_trainable) if use_ba
                                else None),
-                use_union=use_union, cache_packed=cache_packed, **common)
+                use_union=use_union, cache_packed=cache_packed,
+                mesh=getattr(slam, "mesh", None), **common)
 
             if use_union:
                 Cd = slam.mcfg.c_dim

@@ -36,7 +36,7 @@ from .renderer import RenderConfig, render_rays
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
                      "resample_stages", "ray_cand_k", "knn_probe",
-                     "union_u"))
+                     "union_u", "mesh"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -49,12 +49,20 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_lr: float, separate_lr: bool, use_exposure: bool,
                 w_color: float, use_color: bool, handle_dynamic: bool,
                 resample_stages: int = 1, ray_cand_k: int = 0,
-                knn_probe: int = 16, union_u: int = 0):
+                knn_probe: int = 16, union_u: int = 0, mesh=None):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
     opt_out carries the updated exposure latent/MLPs to persist.
+
+    mesh: optional jax.sharding.Mesh — the PRODUCTION multi-chip path: the
+    per-stage pixel batch and its kNN cache are sharded over the mesh's
+    ``dp`` axis (parallel.mesh.shard_batch), GSPMD partitions the per-ray
+    render/loss work and psums the 7-d pose gradient over ICI; the camera,
+    decoders, and scene arrays stay replicated.  None = single-chip,
+    byte-identical programs.
     """
+    from .parallel.mesh import shard_batch
     # --- optimizable pytree (the reference's param groups, Tracker.py:383-415)
     if separate_lr:
         opt_params = {"quad": cam_init[:4], "T": cam_init[4:]}
@@ -87,10 +95,12 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         iteration, Tracker.py:128-168; freezing the set per stage turns 50
         neighbour searches into one and de-noises the pose objective)."""
         idx = pool[jax.random.randint(k, (pixels,), 0, pool_len)]
+        idx = shard_batch(mesh, idx)
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
         ji = (idx // W, idx % W)
-        return (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
+        return shard_batch(mesh, i, j, gt_depth[ji], gt_color[ji],
+                           r_query_map[ji])
 
     def render_union_track(pr, stage, rays_o, rays_d, d_gt, rq, cache,
                            expo):
@@ -258,8 +268,18 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         if ray_cand_k <= 0:
             p = (rays_o[:, None] + rays_d[:, None] * z[..., None]
                  ).reshape(-1, 3)
-            D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
-                                 probe=knn_probe)
+            if mesh is None:
+                D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
+                                     probe=knn_probe)
+            else:
+                # dp-sharded search: single chunk (the chunk loop only
+                # bounds single-chip memory; per-device rows = Q/dp do
+                # the same here), query rows pinned to dp
+                p = shard_batch(mesh, p)
+                D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
+                                     probe=knn_probe,
+                                     q_chunk=p.shape[0])
+                D, I = shard_batch(mesh, D, I)
         else:
             D, I = Knn.knn_ray(rays_o, rays_d, z, *tile_index,
                                k=rcfg.nn_num, kc=ray_cand_k)
@@ -271,6 +291,13 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         n = i.shape[0]
         S_pts, kk = n_surface, rcfg.nn_num
         cap = cloud_pos.shape[0]
+        # invalid search slots (D >= BIG, I = 0) must not alias real point
+        # 0: render_union_track recomputes distances from cached positions,
+        # so a padded neighbour folded into point 0's union group could
+        # gain weight whenever point 0 is within r_query.  Remap them to
+        # the capacity sentinel so they land on the padded 1e6-position row
+        # and get zero weight.
+        I = jnp.where(D >= Knn.BIG, cap, I)
         if mcfg.weighting == "distance":
             w_rank = 1.0 / (D + 1e-10)
         else:
@@ -285,8 +312,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             [upos, jnp.full((n, 1, 3), 1e6, upos.dtype)], 1)
         ufeat = jnp.where((uids < cap)[..., None],
                           cat_feats[safe_ids], 0)        # (n, u, 2C)
-        return (D.reshape(n, S_pts, kk), L.reshape(n, S_pts, kk),
-                uposx, ufeat)
+        return shard_batch(mesh, D.reshape(n, S_pts, kk),
+                           L.reshape(n, S_pts, kk), uposx, ufeat)
 
     ostate = Opt.init(opt_params)
     carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
@@ -453,7 +480,7 @@ class Tracker:
             use_color=self.use_color, handle_dynamic=self.handle_dynamic,
             resample_stages=self.resample_stages,
             ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe,
-            union_u=self.union_u)
+            union_u=self.union_u, mesh=getattr(slam, "mesh", None))
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

@@ -98,11 +98,18 @@ class BaseReader:
 
     def _decode_depth(self, path: str) -> np.ndarray:
         if path.endswith(".exr"):
-            d = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
-            if d is not None and d.ndim == 3:
-                d = d[..., 0]
+            # cv2 builds usually ship without the OpenEXR codec (and gate
+            # it behind OPENCV_IO_ENABLE_OPENEXR); decode with the
+            # first-party codec instead (reference readEXR_onlydepth,
+            # src/utils/datasets.py:12-44)
+            from .exr import read_exr_depth
+            d = read_exr_depth(path)
+            if d is None:
+                raise ValueError(f"{path}: no depth channel (Y/Z/R) found")
         else:
             d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if d is None:
+                raise ValueError(f"failed to decode depth image {path}")
         return d.astype(np.float32) / self.png_depth_scale
 
     def __getitem__(self, index: int) -> Frame:

@@ -28,6 +28,14 @@ def pytest_configure(config):
         "markers", "e2e: end-to-end product-path test (slow, compile-bound)")
 
 
+def pytest_collection_modifyitems(config, items):
+    # every e2e test is also slow: the default `-m "not slow"` fast tier
+    # (pytest.ini) excludes them without double-marking
+    for item in items:
+        if item.get_closest_marker("e2e"):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1219)

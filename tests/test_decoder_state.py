@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hpslam_tpu import state as St
 from hpslam_tpu.models import decoder as Dec
@@ -12,6 +13,7 @@ def small_cfg():
                            hidden_geo=16, hidden_col=32)
 
 
+@pytest.mark.slow
 def test_decoder_shapes_and_grad(rng):
     cfg = small_cfg()
     params = Dec.init_nicer(jax.random.PRNGKey(0), cfg)
@@ -45,6 +47,7 @@ def test_decoder_shapes_and_grad(rng):
     assert float(jnp.abs(g["c"]).sum()) > 0
 
 
+@pytest.mark.slow
 def test_exposure_affine():
     cfg = Dec.ModelConfig(encode_exposure=True)
     params = Dec.init_color_decoder(jax.random.PRNGKey(1), cfg)

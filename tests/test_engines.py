@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hpslam_tpu import renderer as R
 from hpslam_tpu.models import decoder as Dec
@@ -62,6 +63,7 @@ def test_bucket_iters():
     assert bucket_iters(800, 600) in (750, 900)
 
 
+@pytest.mark.slow
 def test_map_scan_reduces_loss(rng):
     mcfg = small_cfg()
     rcfg = R.RenderConfig(sample_near_pcl=False)
@@ -144,6 +146,7 @@ def corner_level(rng, n_cap=16384, c_dim=8):
             jnp.asarray(rng.normal(0, 0.1, (n_cap, c_dim)).astype(np.float32)))
 
 
+@pytest.mark.slow
 def test_track_frame_improves_pose(rng):
     mcfg = small_cfg()
     rcfg = R.RenderConfig(sample_near_pcl=False)
@@ -208,6 +211,7 @@ def test_track_frame_improves_pose(rng):
     assert np.linalg.norm(best_cam[4:]) < 0.3
 
 
+@pytest.mark.slow
 def test_tracker_pose_gradient_matches_fd(rng):
     """Pose-gradient correctness of the tracker's differentiable path with
     FROZEN kNN indices (the tracker's autodiff deliberately ignores
@@ -276,6 +280,7 @@ def _tracker_fd_body(rng, GG, IT, KK, SS):
     assert checked >= 2
 
 
+@pytest.mark.slow
 def test_map_scan_ba_updates_poses(rng):
     """BA: camera tensors receive gradients during the BA LR window and
     frozen slots stay fixed."""
@@ -331,6 +336,7 @@ def test_map_scan_ba_updates_poses(rng):
     assert np.abs(out_cams[2] - cams[2]).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_map_scan_union_matches_reference_path(rng):
     """With u_max = S*k (no union drops) the union fast path computes the
     same loss trajectory as the per-sample kNN-cache path."""
@@ -409,6 +415,7 @@ def test_map_scan_union_matches_reference_path(rng):
     np.testing.assert_allclose(l_uni, l_ref, rtol=2e-3, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_track_frame_union_matches_reference_path(rng):
     """With union_u = S*k (no drops) the tracker's union-gather render is
     the same computation as the per-sample weighted_gather path (same
@@ -456,6 +463,7 @@ def test_track_frame_union_matches_reference_path(rng):
     np.testing.assert_allclose(cam_uni, cam_ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_map_scan_ba_fused_moves_decoder(rng):
     """BA + fused trunks + opt_color_dec: the colour decoder must receive
     real gradients (regression for the dec_wgrads gating — BA uses

@@ -44,6 +44,7 @@ def test_fused_color_forward_matches(setup):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_color_grads_match(setup):
     cfg, params, p, cg, cc = setup
     geo_flat = tuple(FM.flatten_core(params["geo_fine"]["core"]))
@@ -98,6 +99,7 @@ def test_fused_geo_matches(setup):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_map_scan_fused_matches_unfused(rng):
     """The union-path mapping scan with fused trunks must track the XLA
     path's loss trajectory (same schedule, same PRNG)."""
@@ -176,6 +178,7 @@ def test_map_scan_fused_matches_unfused(rng):
     assert diff.max() < 0.2, diff.max()
 
 
+@pytest.mark.slow
 def test_comp_fwd_bwd_matches_reference(rng):
     """In-kernel compositor helpers vs ops.composite.raw2outputs (+ its
     autodiff) including the -100 no-neighbour forcing."""
@@ -220,6 +223,7 @@ def test_comp_fwd_bwd_matches_reference(rng):
                                rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_composite_matches_chain(rng):
     """nicer_fused_composite (trunks + compositor in one kernel pair) vs
     the separate fused trunks + ops.composite chain: values and all
@@ -288,6 +292,7 @@ def test_fused_composite_matches_chain(rng):
                                    err_msg="d col core")
 
 
+@pytest.mark.slow
 def test_map_scan_fused_composite_matches(rng):
     """map_scan with fused_composite must track the fused-trunks-only
     trajectory (same schedule/PRNG; both use bf16-pass matmuls)."""

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.spatial import cKDTree
 
 from hpslam_tpu.ops import knn as K
@@ -55,6 +56,7 @@ def test_interp_weights_mapper_mode(rng):
     np.testing.assert_allclose(float(c[0, 0]), 0.9 * 1.0 + 0.1 * 3.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_interp_weights_tracker_grad(rng):
     import jax
     pos = jnp.asarray(rng.uniform(-1, 1, size=(128, 3)).astype(np.float32))

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hpslam_tpu import renderer as R
 from hpslam_tpu.models import decoder as Dec
@@ -18,6 +19,7 @@ def build_wall_scene(rng, n_cap=4096, c_dim=8):
     return jnp.asarray(pos), jnp.int32(count), jnp.asarray(geo), jnp.asarray(col)
 
 
+@pytest.mark.slow
 def test_render_rays_shapes_and_validity(rng):
     mcfg = Dec.ModelConfig(c_dim=8, geo_embed=16, col_embed=8, rel_embed=4,
                            hidden_geo=16, hidden_col=32)
@@ -49,6 +51,7 @@ def test_render_rays_shapes_and_validity(rng):
         assert bool(np.asarray(vmask)[1:].all())
 
 
+@pytest.mark.slow
 def test_render_feature_gradients(rng):
     mcfg = Dec.ModelConfig(c_dim=8, geo_embed=16, col_embed=8, rel_embed=4,
                            hidden_geo=16, hidden_col=32)
@@ -86,6 +89,7 @@ def test_sample_near_pcl_z(rng):
     assert np.all(np.asarray(z)[:, 0] <= 2.1) and np.all(np.asarray(z)[:, -1] >= 1.9)
 
 
+@pytest.mark.slow
 def test_eval_points(rng):
     mcfg = Dec.ModelConfig(c_dim=8, geo_embed=16, col_embed=8, rel_embed=4,
                            hidden_geo=16, hidden_col=32)

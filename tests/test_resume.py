@@ -4,6 +4,7 @@ import copy
 import os
 
 import numpy as np
+import pytest
 
 
 def _cfg(out, n_frames, ckpt_freq):
@@ -28,6 +29,7 @@ def _cfg(out, n_frames, ckpt_freq):
     return cfg
 
 
+@pytest.mark.slow
 def test_resume_roundtrip(tmp_path):
     from hpslam_tpu.slam import PointSLAM
     out = str(tmp_path / "run")

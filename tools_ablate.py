@@ -78,11 +78,14 @@ def main():
 
     mode = "a" if only else "w"
     with open("ABLATIONS.md", mode) as f:
-        f.write("# Ablations — TPU-design shortcuts vs reference semantics\n\n")
-        f.write("30-frame synthetic sequence (configs/Synthetic/synth_tpu"
-                ".yaml), one TPU v5e chip.  Produced by tools_ablate.py.\n\n")
-        f.write("| variant | ATE RMSE (cm) | track ms | map ms |\n")
-        f.write("|---|---|---|---|\n")
+        if mode == "w":  # filtered runs append rows only, no duplicate header
+            f.write("# Ablations — TPU-design shortcuts vs reference "
+                    "semantics\n\n")
+            f.write("30-frame synthetic sequence (configs/Synthetic/synth_tpu"
+                    ".yaml), one TPU v5e chip.  Produced by tools_ablate.py."
+                    "\n\n")
+            f.write("| variant | ATE RMSE (cm) | track ms | map ms |\n")
+            f.write("|---|---|---|---|\n")
         for r in rows:
             ate = f"{100*r['ate_rmse_m']:.2f}" if r["ate_rmse_m"] else "fail"
             f.write(f"| {r['name']} | {ate} | {r['track_ms']:.0f} | "
