@@ -87,6 +87,10 @@ _VALUE_FLAGS = [
     ("kf_t_thre", float, ("mapping", "kf_trans_thre")),
     ("kf_r_thre", float, ("mapping", "kf_rot_thre")),
     ("project_name", str, ("project_name",)),
+    # SPMD device-mesh spec for the production engines: "dp8", "dp4,tp2",
+    # or a bare device count (framework extension — the reference has no
+    # distributed backend, SURVEY.md §2)
+    ("mesh", str, ("mesh",)),
 ]
 
 

@@ -306,8 +306,14 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
         Ik = jnp.take_along_axis(cidx, sel, axis=1)
         return Dk, Ik
 
-    qs_ = query.reshape(num_q, q_chunk, 3)
-    D, I = jax.lax.map(one_chunk, qs_)
+    if num_q == 1:
+        # single-chunk fast path: no lax.map wrapper, so a dp-sharded
+        # query batch keeps its sharding through the whole search (the
+        # sequential chunk loop exists only to bound single-chip memory)
+        D, I = one_chunk(query)
+    else:
+        qs_ = query.reshape(num_q, q_chunk, 3)
+        D, I = jax.lax.map(one_chunk, qs_)
     D = D.reshape(-1, k)[:Q]
     I = I.reshape(-1, k)[:Q]
     # far-sentinel rows (invalid points) surface as huge distances

@@ -41,3 +41,58 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def cloud_sharding(mesh: Mesh) -> NamedSharding:
     """Point buffers sharded along capacity for tensor-parallel kNN."""
     return NamedSharding(mesh, P("tp"))
+
+
+def shard_batch(mesh: Mesh | None, *arrays, axis: str = "dp"):
+    """Constrain each array's leading axis onto the mesh's ``dp`` axis.
+
+    This is the whole production-engine SPMD story: the hot programs
+    (track_frame, map_scan, the cache builders) are embarrassingly parallel
+    over rays/queries, so pinning the per-ray batch axis with
+    ``with_sharding_constraint`` lets GSPMD partition every downstream
+    per-ray op across chips and insert the gradient/loss psum over ICI
+    automatically.  No-op when ``mesh`` is None (single-chip path —
+    programs stay byte-identical).
+    """
+    if mesh is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = []
+    for x in arrays:
+        if x is None:
+            out.append(None)
+            continue
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        out.append(jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec)))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def parse_mesh_spec(spec) -> Mesh | None:
+    """Build a mesh from a config/CLI spec.
+
+    Accepts ``None``/''/'none' (single-chip), an int-like ('8') for pure
+    dp, or 'dp4,tp2' / 'dp4' style axis lists.  The product must not
+    exceed ``jax.device_count()``.
+    """
+    if spec in (None, "", "none", "None", 0, "0"):
+        return None
+    dp = tp = None
+    if isinstance(spec, int) or (isinstance(spec, str) and spec.isdigit()):
+        dp, tp = int(spec), 1
+    else:
+        for part in str(spec).split(","):
+            part = part.strip()
+            if part.startswith("dp"):
+                dp = int(part[2:])
+            elif part.startswith("tp"):
+                tp = int(part[2:])
+            else:
+                raise ValueError(f"bad mesh axis {part!r} in {spec!r}")
+        tp = tp or 1
+        if dp is None:
+            dp = jax.device_count() // tp
+    n = dp * tp
+    if n > jax.device_count():
+        raise ValueError(
+            f"mesh {spec!r} needs {n} devices, have {jax.device_count()}")
+    return make_mesh(n, dp=dp, tp=tp)

@@ -59,6 +59,15 @@ class PointSLAM:
 
         self.scale = cfg["scale"]
         self.mcfg = Dec.ModelConfig.from_cfg(cfg)
+        # optional SPMD device mesh (--mesh dp4,tp2 / mesh: "dp8" in YAML):
+        # the production track_frame/map_scan programs shard their ray
+        # batches over the mesh's dp axis (see parallel.mesh.shard_batch)
+        self.mesh = None
+        if cfg.get("mesh"):
+            from .parallel.mesh import parse_mesh_spec
+            self.mesh = parse_mesh_spec(cfg.get("mesh"))
+            if self.verbose and self.mesh is not None:
+                print(f"SPMD mesh axes: {dict(self.mesh.shape)}")
         seed = cfg.get("seed", 1219)
         self._seed = seed
         self.params = Dec.init_nicer(self._next_key(), self.mcfg)

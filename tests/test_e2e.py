@@ -103,3 +103,43 @@ def test_pointslam_run_loose_sync(tmp_path):
     # frame 0's map must have been deferred past the tracker (lag 5):
     # it lands only when idx reaches 5, i.e. after frame-5 tracking
     assert slam._map_lag == 5
+
+
+@pytest.mark.e2e
+def test_pointslam_run_mesh_dp8(tmp_path):
+    """PRODUCTION multi-chip e2e: the full PointSLAM.run() with
+    cfg['mesh']='dp8' executes the real engines dp-sharded over the
+     8-device mesh (run.py --mesh knob) and lands within the synthetic
+    noise band of the single-device trajectory.
+
+    Program-level equivalence is asserted tightly in
+    test_parallel.py::test_production_*_mesh_equivalence; here the bound is
+    the measured neighbour-set-perturbation noise of this 7-frame fixture
+    (~0.1 m), since psum reassociation noise amplifies through per-frame
+    Adam chaos.
+    """
+    import jax
+    from hpslam_tpu.slam import PointSLAM
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg = tiny_cfg(tmp_path)
+    cfg["data"]["output"] = str(tmp_path / "out_single")
+    slam1 = PointSLAM(copy.deepcopy(cfg))
+    res1, _ = slam1.run()
+    traj1 = slam1.estimate_c2w_list.copy()
+
+    cfg["mesh"] = "dp8"
+    cfg["data"]["output"] = str(tmp_path / "out_mesh")
+    slam8 = PointSLAM(cfg)
+    assert slam8.mesh is not None and slam8.mesh.shape["dp"] == 8
+    res8, _ = slam8.run()
+    traj8 = slam8.estimate_c2w_list.copy()
+
+    assert res8 is not None
+    rmse8 = res8["absolute_translational_error.rmse"]
+    assert np.isfinite(rmse8) and rmse8 < 0.5
+    # trajectory within the fixture's noise band of the single-device run
+    dt = np.linalg.norm(traj8[:, :3, 3] - traj1[:, :3, 3], axis=1)
+    assert float(dt.max()) < 0.15, f"mesh-vs-single drift {dt.max():.3f} m"

@@ -27,6 +27,7 @@ def test_tp_knn_matches_single_chip(rng):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dryrun_multichip():
     import importlib.util
     import os
@@ -54,6 +55,7 @@ def test_entry_compiles():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dp_map_step_matches_single_device(rng):
     """The dp-sharded mapping step must compute the SAME update as one
     device: ray sharding only changes where per-ray work runs; XLA's
@@ -122,6 +124,7 @@ def test_dp_map_step_matches_single_device(rng):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dp_track_step_matches_single_device(rng):
     """Pose gradient over dp-sharded rays == single-device pose gradient."""
     from hpslam_tpu.models import decoder as Dec
@@ -188,3 +191,133 @@ def test_dp_track_step_matches_single_device(rng):
     np.testing.assert_allclose(float(l_dp), float(l_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(cam_dp), np.asarray(cam_ref),
                                rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# PRODUCTION engines on a mesh (VERDICT r1 item 1): the real map_scan /
+# track_frame programs, dp-sharded via their ``mesh`` argument, must compute
+# the same result as the single-device run (up to psum reassociation).
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_production_map_scan_mesh_equivalence(rng):
+    from hpslam_tpu import renderer as R
+    from hpslam_tpu.models import decoder as Dec
+    from hpslam_tpu.ops import optim as Opt
+    from hpslam_tpu.mapper import map_scan, build_pixel_knn_cache
+    from tests.test_engines import small_cfg, wall_level
+
+    mcfg = small_cfg()
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+
+    H, W, F = 24, 32, 2
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                     -np.ones_like(ii, float)], -1)
+    depth = (2.0 / -dirs[..., 2]).astype(np.float32)
+    color_img = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    colors = np.broadcast_to(color_img, (F, H, W, 3)).copy()
+    depths = np.broadcast_to(depth, (F, H, W)).copy()
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    rq = np.full((F, H, W), 0.4, np.float32)
+    pools = np.broadcast_to(np.arange(H * W, dtype=np.int32),
+                            (F, H * W)).copy()
+    pool_lens = np.full((F,), H * W, np.int32)
+    expo_stack = np.zeros((F, 8), np.float32)
+
+    n_iters = 12
+    stage_ids = np.concatenate([np.zeros(4, np.int32), np.ones(8, np.int32)])
+    lr_table = np.tile(np.array([[0.005, 0.03, 0.02, 0.0]], np.float32),
+                       (n_iters, 1))
+    tiles = K.build_tiles(pos, count)
+
+    def run(mesh):
+        cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+            jax.random.PRNGKey(7), jnp.asarray(depths), jnp.asarray(c2ws),
+            jnp.asarray(pools), jnp.asarray(pool_lens), tiles,
+            P=256, S=5, k=8, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+            near_surface=0.96, far_surface=1.04, mesh=mesh)
+        # fresh copies: map_scan donates opt_params/opt_state
+        op = {"geo": jnp.array(geo), "col": jnp.array(col),
+              "dec": jax.tree.map(jnp.array,
+                                  {"col_fine": params["col_fine"]})}
+        ost = Opt.init(op)
+        op, ost, losses = map_scan(
+            params, mcfg, rcfg, op, ost, jax.random.PRNGKey(1),
+            jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
+            jnp.asarray(rq), cache_pix, cacheD, cacheI,
+            jnp.asarray(expo_stack), pos, count,
+            jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
+            level="fine", n_rays=256, F_max=F, H=H, W=W,
+            fx=fx, fy=fy, cx=cx, cy=cy, n_iters=n_iters, use_exposure=False,
+            opt_color_dec=True, opt_geo_dec=False, w_color=0.1,
+            geo_iters=4, mesh=mesh)
+        return np.asarray(losses), np.asarray(op["geo"]), np.asarray(op["col"])
+
+    l1, g1, c1 = run(None)
+    l8, g8, c8 = run(make_mesh(8, tp=1))
+    # identical programs up to cross-device sum reassociation; the tiny
+    # reassociation noise amplifies through Adam's chaotic dynamics, so
+    # the first iteration is tight and later ones bounded
+    np.testing.assert_allclose(l8[0], l1[0], rtol=1e-4)
+    np.testing.assert_allclose(l8, l1, rtol=0.03, atol=1e-3)
+    np.testing.assert_allclose(g8, g1, rtol=0.05, atol=2e-3)
+    np.testing.assert_allclose(c8, c1, rtol=0.05, atol=2e-3)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
+def test_production_track_frame_mesh_equivalence(rng):
+    from hpslam_tpu import renderer as R
+    from hpslam_tpu.models import decoder as Dec
+    from hpslam_tpu.tracker import track_frame
+    from tests.test_engines import small_cfg, corner_level, corner_depth
+
+    mcfg = small_cfg()
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = corner_level(rng)
+
+    H, W = 24, 32
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs0 = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                      -np.ones_like(ii, float)], -1).reshape(-1, 3)
+    gt_depth_img = corner_depth(dirs0).reshape(H, W).astype(np.float32)
+    color_img = np.full((H, W, 3), 0.5, np.float32)
+    rqm = np.full((H, W), 0.4, np.float32)
+    pool = np.arange(H * W, dtype=np.int32)
+    cam_init = np.array([1, 0, 0, 0, 0.05, -0.03, 0.04], np.float32)
+    tiles = K.build_tiles(pos, count)
+
+    def run(mesh):
+        best_cam, best_loss, losses, _ = track_frame(
+            params, mcfg, rcfg, jnp.asarray(cam_init), jax.random.PRNGKey(2),
+            jnp.asarray(color_img), jnp.asarray(gt_depth_img),
+            jnp.asarray(rqm), jnp.asarray(rqm),
+            jnp.asarray(pool), jnp.int32(pool.size),
+            pos, count, geo, col, tiles,
+            pos, count, geo, col, tiles,
+            jnp.zeros(8),
+            pixels=192, iters_mid=8, iters_fine=8, W=W,
+            fx=fx, fy=fy, cx=cx, cy=cy, cam_lr=0.01, separate_lr=False,
+            use_exposure=False, w_color=0.5, use_color=True,
+            handle_dynamic=True, mesh=mesh)
+        return np.asarray(best_cam), np.asarray(losses)
+
+    cam1, l1 = run(None)
+    cam8, l8 = run(make_mesh(8, tp=1))
+    # first iteration tight (same program up to psum reassociation); the
+    # noise amplifies through the Adam pose updates, so later iterations
+    # and the selected pose are bounded, not bit-equal
+    np.testing.assert_allclose(l8[0], l1[0], rtol=1e-4)
+    np.testing.assert_allclose(l8, l1, rtol=0.03, atol=1e-3)
+    # the selected pose converges to the same optimum but walks a
+    # noise-amplified path (best-of-16 over a 192-ray objective)
+    np.testing.assert_allclose(cam8, cam1, atol=0.02)
+    assert abs(float(l8.min()) - float(l1.min())) / float(l1.min()) < 0.03
