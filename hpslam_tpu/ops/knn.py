@@ -268,7 +268,15 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
     smallest AABB lower bound, exact squared distances on their candidates,
     top-k merge.  Recall vs exact is ~0.996 at probe=16 on wall-like clouds
     (tests/test_knn.py, KDTree oracle).
+
+    ``tile`` is derived from the index shapes — whatever tile size
+    build_tiles used wins (the state.NeuralPointCloud index caps the tile
+    COUNT at 4096 so recall does not degrade as the cloud grows; at a
+    fixed candidate budget, fewer/bigger tiles measured both faster —
+    contiguous gathers — and higher-recall on adversarial wall clouds:
+    tile=512 1nn 0.9995 vs tile=128 0.9888 at 2^21 pts, probe=16).
     """
+    tile = pos_tiles.shape[2]
     Q = query.shape[0]
     q_chunk = min(q_chunk, max(Q, 1))
     num_q = -(-Q // q_chunk)
@@ -362,6 +370,7 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
     T = tile_lo.shape[1]
     probe = min(probe, T)
     del kc  # see docstring
+    tile = pos_tiles.shape[2]  # index's tile size wins (see knn_tiles)
     perm_tiles = perm.reshape(T, tile)
 
     r_chunk = min(r_chunk, max(R, 1))

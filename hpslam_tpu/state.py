@@ -86,10 +86,12 @@ def add_points(level: PointLevel, tile_index, key, rays_o, rays_d, gt_depth,
 
     # zero-neighbour test within per-ray dynamic radius
     # (neural_point.py:262-268).  Only the 1-NN matters for a == 0 count;
-    # the tile index is ~exact for 1-NN (recall 0.999+, tests/test_knn.py),
-    # unlike the segment-min search that could miss neighbours and insert
-    # near-duplicates at >32k points.
-    D1, _ = K.knn_tiles(pts_gt, *tile_index, k=1)
+    # a missed 1-NN silently inserts a near-duplicate, so this search runs
+    # at probe=32 (1-NN recall 1.000 at 2^19 and >=0.9995 at 2^21 on the
+    # adversarial wall cloud, tests/test_knn.py::test_recall_at_scale) —
+    # it fires once per mapped frame on ~7k queries, so the wider probe
+    # costs noise next to the optimizer scans.
+    D1, _ = K.knn_tiles(pts_gt, *tile_index, k=1, probe=32)
     keep = valid & (D1[:, 0] >= jnp.square(r_add))
 
     # spread n_add points along the ray around the depth reading
@@ -191,11 +193,21 @@ class NeuralPointCloud:
             self.levels[level] = grow_level(lv, new_cap)
             self._index_dirty[level] = True
 
+    # tile-count cap: the tile size grows with capacity beyond 4096*128 =
+    # 2^19 points so the probed fraction of the cloud — and therefore
+    # search recall — is invariant as the scene grows (measured at 2^21 on
+    # an adversarial 3-layer wall: capped tile=512/probe=16 1-NN recall
+    # 0.9995 vs uncapped tile=128 0.9888, AND faster — candidates are
+    # contiguous whole-tile rows).  tests/test_knn.py::test_recall_at_scale.
+    TILE_COUNT_CAP = 4096
+
     def index(self, level: str):
         """Tile index for the level's current cloud (lazy rebuild)."""
         if self._index_dirty.get(level, True) or level not in self._tile_index:
             lv = self.levels[level]
-            self._tile_index[level] = K.build_tiles(lv.pos, lv.count)
+            tile = max(128, lv.capacity // self.TILE_COUNT_CAP)
+            self._tile_index[level] = K.build_tiles(lv.pos, lv.count,
+                                                    tile=tile)
             self._index_dirty[level] = False
         return self._tile_index[level]
 

@@ -203,3 +203,68 @@ def test_knn_ray_masks_invalid(rng):
     assert np.all(D[:, 4:] >= K.BIG)
     # middle sample of ray 0 sits exactly on point 0
     assert np.allclose(D[2, 0], 0.0, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_recall_at_scale(rng):
+    """kNN recall must NOT degrade as the cloud grows to ScanNet-fine
+    scale (VERDICT r1 item 5): 2^21 points, wall-like (adversarial for
+    Morton tiles — elongated coplanar layers) and room-like clouds, with
+    the production tile policy (state.NeuralPointCloud caps tile count at
+    4096 -> tile=512 here).  Gates: insertion 1-NN (probe=32, the
+    state.add_points setting) >= 0.999; rendering k=8 at probe=24 >= 0.99;
+    and the default probe's recall at 2^21 under the policy is no worse
+    than at 2^19."""
+    from scipy.spatial import cKDTree
+    from hpslam_tpu.state import NeuralPointCloud
+
+    def wall(n):
+        m = n // 3
+        base = rng.uniform(-3, 3, (m, 2))
+        layers = [np.column_stack([base[:, 0], base[:, 1],
+                                   np.full(m, -2.0 + dz)])
+                  + rng.normal(0, 0.01, (m, 3))
+                  for dz in (-0.04, 0.0, 0.04)]
+        return np.concatenate(layers)[:n].astype(np.float32)
+
+    def room(n):
+        per = n // 6
+        faces = []
+        for ax in range(3):
+            for s in (-2.5, 2.5):
+                uv = rng.uniform(-2.5, 2.5, (per, 2)) * (0.4 if s > 0 else 1)
+                faces.append(np.insert(uv, ax, s, axis=1))
+        pts = np.concatenate(faces)[:n]
+        return (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+
+    def recalls(pts, cap, probe, k):
+        n = pts.shape[0]
+        buf = np.zeros((cap, 3), np.float32)
+        buf[:n] = pts
+        tile = max(128, cap // NeuralPointCloud.TILE_COUNT_CAP)
+        tiles = K.build_tiles(jnp.asarray(buf), jnp.int32(n), tile=tile)
+        q = (pts[rng.integers(0, n, 1024)]
+             + rng.normal(0, 0.02, (1024, 3))).astype(np.float32)
+        _, i_true = cKDTree(pts).query(q, k=k)
+        i_true = i_true.reshape(1024, k)
+        _, I = K.knn_tiles(jnp.asarray(q), *tiles, k=k, probe=probe)
+        I = np.asarray(I)
+        r1 = np.mean([i_true[j, 0] in I[j] for j in range(len(q))])
+        rk = np.mean([len(set(i_true[j]) & set(I[j])) / k
+                      for j in range(len(q))])
+        return r1, rk
+
+    for gen in (wall, room):
+        pts21 = gen(2 ** 21)
+        # insertion gate (probe=32 in state.add_points)
+        r1, _ = recalls(pts21, 2 ** 21, probe=32, k=1)
+        assert r1 >= 0.999, f"{gen.__name__} insertion 1-NN recall {r1}"
+        # rendering gate
+        _, rk = recalls(pts21, 2 ** 21, probe=24, k=8)
+        assert rk >= 0.99, f"{gen.__name__} k=8 recall {rk}"
+        # growth invariance at the default probe under the tile policy
+        pts19 = gen(2 ** 19)
+        r19, _ = recalls(pts19, 2 ** 19, probe=16, k=8)
+        r21, _ = recalls(pts21, 2 ** 21, probe=16, k=8)
+        assert r21 >= r19 - 0.005, (
+            f"{gen.__name__} recall degraded with growth: {r19} -> {r21}")
