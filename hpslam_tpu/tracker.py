@@ -36,7 +36,7 @@ from .renderer import RenderConfig, render_rays
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
                      "resample_stages", "ray_cand_k", "knn_probe",
-                     "union_u", "mesh"))
+                     "union_u", "mesh", "pool_factor"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -49,7 +49,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_lr: float, separate_lr: bool, use_exposure: bool,
                 w_color: float, use_color: bool, handle_dynamic: bool,
                 resample_stages: int = 1, ray_cand_k: int = 0,
-                knn_probe: int = 16, union_u: int = 0, mesh=None):
+                knn_probe: int = 16, union_u: int = 0, mesh=None,
+                pool_factor: int = 1):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -61,6 +62,15 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     render/loss work and psums the 7-d pose gradient over ICI; the camera,
     decoders, and scene arrays stay replicated.  None = single-chip,
     byte-identical programs.
+
+    pool_factor: > 1 approximates the reference's PER-ITERATION pixel
+    resampling (Tracker.py:128-168) at one search's cost: each sub-stage
+    draws pool_factor*pixels pixels and runs ONE neighbour search over
+    the whole pool; every scan iteration then gathers a fresh random
+    ``pixels``-subset of the pooled rays + cached neighbours.  The pose
+    objective decorrelates across iterations (the reference behaviour the
+    frozen-set default trades away, ABLATIONS.md resample2 vs resample4)
+    while the per-iteration cost grows only by ~6 small row-gathers.
     """
     from .parallel.mesh import shard_batch
     # --- optimizable pytree (the reference's param groups, Tracker.py:383-415)
@@ -90,17 +100,23 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         expo = op["expo_feat"] if use_exposure else None
         return cam, pr, expo
 
+    n_draw = pixels * max(pool_factor, 1)
+
     def stage_inputs(k, r_query_map):
-        """Fixed per-stage pixel set (the reference resamples every
-        iteration, Tracker.py:128-168; freezing the set per stage turns 50
-        neighbour searches into one and de-noises the pose objective)."""
-        idx = pool[jax.random.randint(k, (pixels,), 0, pool_len)]
-        idx = shard_batch(mesh, idx)
+        """Per-stage pixel set (the reference resamples every iteration,
+        Tracker.py:128-168; freezing a set per stage turns 50 neighbour
+        searches into one and de-noises the pose objective).  With
+        pool_factor > 1 this is the POOL each scan iteration subsamples
+        ``pixels`` rays from (see make_step) — kept replicated on a mesh
+        so the per-iteration gathers stay device-local."""
+        idx = pool[jax.random.randint(k, (n_draw,), 0, pool_len)]
+        if pool_factor <= 1:
+            idx = shard_batch(mesh, idx)
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
         ji = (idx // W, idx % W)
-        return shard_batch(mesh, i, j, gt_depth[ji], gt_color[ji],
-                           r_query_map[ji])
+        out = (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
+        return shard_batch(mesh, *out) if pool_factor <= 1 else out
 
     def render_union_track(pr, stage, rays_o, rays_d, d_gt, rq, cache,
                            expo):
@@ -231,12 +247,53 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     cat_mid = jnp.concatenate([geo_mid, col_mid], axis=1).astype(fdt)
     cat_fine = jnp.concatenate([geo_fine, col_fine], axis=1).astype(fdt)
 
-    def make_step(stage, level_arrays, inputs, knn_cache, cat_feats):
-        def step(carry, _):
+    S_pts = rcfg.N_surface
+    SK = S_pts * rcfg.nn_num
+
+    def pack_pool(inputs, knn_cache):
+        """One flat f32 row per pooled ray: [i, j, d_gt, c_gt(3), rq,
+        D(S*k), I(S*k) bitcast] — the per-iteration subsample then costs
+        ONE row gather instead of eight (slicing a gathered row is
+        sequential reads; the iteration is op-count bound, see
+        ops/fused_mlp.py / mapper.pack_union_cache)."""
+        i, j, d_gt, c_gt, rq = inputs
+        D, I = knn_cache
+        return jnp.concatenate([
+            i[:, None], j[:, None], d_gt[:, None], c_gt, rq[:, None],
+            D.reshape(n_draw, SK),
+            jax.lax.bitcast_convert_type(
+                I.astype(jnp.int32).reshape(n_draw, SK), jnp.float32),
+        ], axis=1)
+
+    def unpack_rows(row):
+        k_nn = rcfg.nn_num
+        i, j, d_gt = row[:, 0], row[:, 1], row[:, 2]
+        c_gt, rq = row[:, 3:6], row[:, 6]
+        D = row[:, 7:7 + SK].reshape(-1, k_nn)
+        I = jax.lax.bitcast_convert_type(
+            row[:, 7 + SK:7 + 2 * SK], jnp.int32).reshape(-1, k_nn)
+        return (i, j, d_gt, c_gt, rq), (D, I)
+
+    def make_step(stage, level_arrays, inputs, knn_cache, cat_feats,
+                  packed=None):
+        def step(carry, key_it):
             op, ostate, best_loss, best_cam = carry
+            if pool_factor > 1:
+                # PER-ITERATION resampling from the pooled rays + cached
+                # neighbours (reference freshness, Tracker.py:128-168, at
+                # one row-gather's cost instead of a new search)
+                sel = jax.random.randint(key_it, (pixels,), 0, n_draw)
+                sel = shard_batch(mesh, sel)
+                if union_u > 0:
+                    it_inputs = tuple(a[sel] for a in inputs)
+                    it_cache = tuple(a[sel] for a in knn_cache)
+                else:
+                    it_inputs, it_cache = unpack_rows(packed[sel])
+            else:
+                it_inputs, it_cache = inputs, knn_cache
             loss, grads = jax.value_and_grad(
-                lambda o: loss_fn(o, stage, level_arrays, inputs,
-                                  knn_cache, cat_feats))(op)
+                lambda o: loss_fn(o, stage, level_arrays, it_inputs,
+                                  it_cache, cat_feats))(op)
             op, ostate = Opt.update(grads, ostate, op, lr_tree)
             cam = (jnp.concatenate([op["quad"], op["T"]])
                    if separate_lr else op["cam"])
@@ -279,7 +336,16 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
                                      probe=knn_probe,
                                      q_chunk=p.shape[0])
-                D, I = shard_batch(mesh, D, I)
+                if pool_factor > 1:
+                    # pooled cache: re-replicate so the per-iteration
+                    # random-row gathers stay device-local (one
+                    # all-gather per stage)
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    repl = NamedSharding(mesh, PartitionSpec())
+                    D = jax.lax.with_sharding_constraint(D, repl)
+                    I = jax.lax.with_sharding_constraint(I, repl)
+                else:
+                    D, I = shard_batch(mesh, D, I)
         else:
             D, I = Knn.knn_ray(rays_o, rays_d, z, *tile_index,
                                k=rcfg.nn_num, kc=ray_cand_k)
@@ -340,9 +406,14 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             cache = stage_knn(inputs, tile_index, level_arrays[0],
                               cat_feats, current_cam(carry),
                               rcfg.N_surface)
+            packed = (pack_pool(inputs, cache)
+                      if pool_factor > 1 and union_u <= 0 else None)
+            it_keys = jax.random.split(
+                jax.random.fold_in(k, 10_000 + s), sub)
             carry, ls = jax.lax.scan(
-                make_step(stage, level_arrays, inputs, cache, cat_feats),
-                carry, None, length=sub)
+                make_step(stage, level_arrays, inputs, cache, cat_feats,
+                          packed),
+                carry, it_keys)
             losses.append(ls)
         return carry, (jnp.concatenate(losses) if losses
                        else jnp.zeros((0,), jnp.float32))
@@ -377,6 +448,12 @@ class Tracker:
         self.ignore_edge_H = t["ignore_edge_H"]
         self.const_speed = t["const_speed_assumption"]
         self.resample_stages = int(t.get("resample_stages", 1))
+        # > 1: each sub-stage searches a pool_factor*pixels pixel pool once
+        # and every iteration re-draws a fresh ``pixels`` subset from it —
+        # the reference's per-iteration resampling freshness
+        # (Tracker.py:128-168) at one search per sub-stage (see
+        # track_frame docstring)
+        self.pool_factor = int(t.get("pixel_pool_factor", 1))
         # 0 = exact per-sample search (default).  The per-ray segment
         # search (knn_ray) measured SLOWER at prod scale: per-ray candidate
         # sets must be ~2x wider (probe=32) for recall parity, and the
@@ -480,7 +557,8 @@ class Tracker:
             use_color=self.use_color, handle_dynamic=self.handle_dynamic,
             resample_stages=self.resample_stages,
             ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe,
-            union_u=self.union_u, mesh=getattr(slam, "mesh", None))
+            union_u=self.union_u, mesh=getattr(slam, "mesh", None),
+            pool_factor=self.pool_factor)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

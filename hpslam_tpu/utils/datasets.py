@@ -265,6 +265,21 @@ class Synthetic(BaseReader):
     Depth/colour are ray-cast against an axis-aligned box of half-size 2.5m
     with a procedural RGB texture; poses follow a smooth orbit.  Serves as
     the deterministic end-to-end fixture the reference lacks (SURVEY.md §4).
+
+    Optional SENSOR MODEL (cfg.synthetic), default all off — stresses the
+    ScanNet failure modes the clean fixture cannot (VERDICT r1 item 4):
+      * depth_noise_std: multiplicative Gaussian depth noise, sigma =
+        std * depth (Kinect-like range error growth);
+      * depth_quant: quantisation step in metres (16-bit png depth);
+      * depth_hole_frac: fraction of pixels dropped to 0 in blobs
+        (specular/IR-shadow holes);
+      * exposure_drift: per-frame global colour gain drifting sinusoidally
+        by +-drift (exercises the exposure MLPs / affines);
+      * texture_poor: fraction of the room (by wall x-extent) rendered
+        with near-flat texture (exercises the dynamic add/query radii);
+      * trajectory: 'orbit' (default quarter-orbit) or 'loop' — a full
+        orbit returning to the start pose (exercises end_correction's
+        tail-vs-early-cloud registration, reference Mapper.py:1080-1148).
     """
 
     HALF = 2.5
@@ -274,6 +289,13 @@ class Synthetic(BaseReader):
         syn = cfg.get("synthetic", {})
         self._n = int(syn.get("n_frames", 30))
         self._radius = float(syn.get("radius", 1.2))
+        self._depth_noise = float(syn.get("depth_noise_std", 0.0))
+        self._depth_quant = float(syn.get("depth_quant", 0.0))
+        self._hole_frac = float(syn.get("depth_hole_frac", 0.0))
+        self._expo_drift = float(syn.get("exposure_drift", 0.0))
+        self._texture_poor = float(syn.get("texture_poor", 0.0))
+        self._trajectory = str(syn.get("trajectory", "orbit"))
+        self._seed = int(cfg.get("seed", 1219))
         cam = cfg["cam"]
         self._H0, self._W0 = cam["H"], cam["W"]
         self._fx, self._fy = cam["fx"], cam["fy"]
@@ -288,10 +310,11 @@ class Synthetic(BaseReader):
         return self._n
 
     def _pose(self, i: int) -> np.ndarray:
-        ang = 2 * np.pi * i / max(self._n, 1) * 0.25  # quarter orbit
+        frac = 1.0 if self._trajectory == "loop" else 0.25
+        ang = 2 * np.pi * i / max(self._n, 1) * frac
         pos = np.array([self._radius * np.sin(ang), 0.3 * np.sin(2 * ang),
                         self._radius * np.cos(ang) - 0.5])
-        yaw = ang * 0.6
+        yaw = ang * (1.0 if self._trajectory == "loop" else 0.6)
         cy_, sy = np.cos(yaw), np.sin(yaw)
         R = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
         c2w = np.eye(4)
@@ -329,14 +352,45 @@ class Synthetic(BaseReader):
         depth_along_ray = t_exit
         hit = ro[None, None, :] + rd * depth_along_ray[..., None]
         color = self._texture(hit)
+        if self._texture_poor > 0:
+            # near-flat texture over part of the room: hit points with
+            # x above the quantile boundary lose almost all colour
+            # gradient (dynamic radii go to radius_add_max there)
+            bound = self.HALF * (1.0 - 2.0 * self._texture_poor)
+            flat = hit[..., 0] > bound
+            color = np.where(flat[..., None],
+                             0.55 + 0.02 * color, color).astype(np.float32)
         # sensor depth convention: distance along -z in camera frame equals
         # t (rays have dz=-1 before rotation)
         depth = depth_along_ray.astype(np.float32)
+
+        # --- sensor model (deterministic per frame)
+        srng = np.random.default_rng(self._seed * 100003 + index)
+        if self._depth_noise > 0:
+            depth = depth * (1.0 + self._depth_noise
+                             * srng.standard_normal(depth.shape)
+                             ).astype(np.float32)
+        if self._depth_quant > 0:
+            depth = (np.round(depth / self._depth_quant)
+                     * self._depth_quant).astype(np.float32)
+        if self._hole_frac > 0:
+            # blob holes: threshold smoothed noise so dropouts cluster
+            # like IR-shadow patches rather than salt-and-pepper
+            g = srng.standard_normal((H // 8 + 1, W // 8 + 1))
+            gg = np.kron(g, np.ones((8, 8)))[:H, :W]
+            thr = np.quantile(gg, self._hole_frac)
+            depth = np.where(gg < thr, 0.0, depth).astype(np.float32)
+        if self._expo_drift > 0:
+            gain = 1.0 + self._expo_drift * np.sin(
+                2 * np.pi * index / max(self._n, 1) * 2.0)
+            color = np.clip(color * gain, 0.0, 1.0).astype(np.float32)
+
         e = self.crop_edge
         if e > 0:
             color = color[e:-e, e:-e]
             depth = depth[e:-e, e:-e]
-        return Frame(index, color, depth, c2w.astype(np.float32))
+        return Frame(index, np.ascontiguousarray(color),
+                     np.ascontiguousarray(depth), c2w.astype(np.float32))
 
 
 dataset_registry = {

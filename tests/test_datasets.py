@@ -238,3 +238,52 @@ def test_decode_depth_raises_on_missing(tmp_path):
     ds = D.BaseReader(_cfg("scannet", tmp_path))
     with pytest.raises(ValueError, match="failed to decode"):
         ds._decode_depth(str(tmp_path / "nope.png"))
+
+
+def _syn_cfg(**syn):
+    return {
+        "dataset": "synthetic",
+        "data": {"input_folder": "/tmp/x"},
+        "seed": 7,
+        "synthetic": {"n_frames": 8, "radius": 1.2, **syn},
+        "cam": {"H": 40, "W": 52, "fx": 30.0, "fy": 30.0, "cx": 25.5,
+                "cy": 19.5, "png_depth_scale": 1000.0, "crop_edge": 0},
+    }
+
+
+def test_synthetic_sensor_model():
+    clean = D.get_dataset(_syn_cfg())
+    noisy = D.get_dataset(_syn_cfg(depth_noise_std=0.01, depth_quant=0.004,
+                                   depth_hole_frac=0.05,
+                                   exposure_drift=0.2, texture_poor=0.3))
+    fc, fn = clean[2], noisy[2]
+    # holes: ~5% of pixels dropped to zero (clustered blobs)
+    hole = np.mean(fn.depth == 0)
+    assert 0.02 < hole < 0.10
+    # multiplicative noise + quantisation on the valid pixels
+    m = fn.depth > 0
+    rel = np.abs(fn.depth[m] - fc.depth[m]) / fc.depth[m]
+    assert 0.004 < rel.mean() < 0.02
+    q = fn.depth[m] / 0.004
+    np.testing.assert_allclose(q, np.round(q), atol=1e-3)
+    # determinism: same frame re-read is identical
+    fn2 = noisy[2]
+    np.testing.assert_array_equal(fn.depth, fn2.depth)
+    np.testing.assert_array_equal(fn.color, fn2.color)
+    # exposure drift: global gain differs across frames
+    g2 = np.mean(noisy[2].color) / np.mean(clean[2].color)
+    g6 = np.mean(noisy[6].color) / np.mean(clean[6].color)
+    assert abs(g2 - g6) > 0.02
+    # texture-poor region: colour gradient collapses where x > bound
+    gx = np.abs(np.diff(fn.color, axis=1)).sum(-1)
+    gx_clean = np.abs(np.diff(fc.color, axis=1)).sum(-1)
+    assert gx.mean() < gx_clean.mean() * 0.95
+
+
+def test_synthetic_loop_trajectory_closes():
+    loop = D.get_dataset(_syn_cfg(trajectory="loop", n_frames=40))
+    p0 = loop.poses[0][:3, 3]
+    plast = loop.poses[39][:3, 3]
+    pmid = loop.poses[20][:3, 3]
+    assert np.linalg.norm(plast - p0) < 0.4   # returns near the start
+    assert np.linalg.norm(pmid - p0) > 1.0    # after going far away

