@@ -108,7 +108,7 @@ def main():
         iters_fine=TRACK_ITERS - TRACK_ITERS // 2, W=W,
         fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
         use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True,
-        resample_stages=2, knn_probe=12)  # product default (ABLATIONS.md)
+        resample_stages=4, knn_probe=12)  # product default (ABLATIONS.md)
 
     # tile indexes are built once per mapping frame in the product
     # (NeuralPointCloud.index); here positions are static
@@ -177,8 +177,11 @@ def main():
             uniq, uids, pos_c, geo_c, col_c = compact_scene(
                 uids, arr[0], arr[2], arr[3], U)
             packed = pack_union_cache(cache_const, Wm, pmask, uids)
+            from jax.flatten_util import ravel_pytree
+            dec_flat, dec_unravel = ravel_pytree(
+                {f"col_{lvl}": params[f"col_{lvl}"]})
             op = {"feat": jnp.concatenate([geo_c, col_c], 1),
-                  "dec": {f"col_{lvl}": params[f"col_{lvl}"]},
+                  "dec_flat": dec_flat,
                   "expo_feat": jnp.asarray(expo)}
             ost = Opt.init(op)
             op, ost, losses = map_scan(
@@ -201,7 +204,8 @@ def main():
                 arr0[0], arr0[1],
                 arr0[2].at[uniq].set(op["feat"][:, :Cd], mode="drop"),
                 arr0[3].at[uniq].set(op["feat"][:, Cd:], mode="drop"))
-            params[f"col_{lvl}"] = op["dec"][f"col_{lvl}"]
+            params[f"col_{lvl}"] = dec_unravel(
+                op["dec_flat"])[f"col_{lvl}"]
         jax.block_until_ready(losses)
         return losses
 

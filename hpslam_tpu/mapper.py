@@ -402,12 +402,37 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     """
     from .parallel.mesh import shard_batch
 
+    # the optimizable decoder sub-tree is carried FLAT (one vector) when
+    # the caller passes 'dec_flat': per-leaf Adam over the ~22 small
+    # decoder arrays costs ~200 extra HLO ops per iteration (the loop is
+    # op-count bound, ops/fused_mlp.py); one flat vector runs Adam as one
+    # fused elementwise chain and is unravelled only where the forward
+    # needs the matrices
+    def dec_structure():
+        t = {}
+        if opt_color_dec:
+            t[f"col_{level}"] = params[f"col_{level}"]
+        if opt_geo_dec:
+            t[f"geo_{level}"] = params[f"geo_{level}"]
+        return t
+
+    if opt_color_dec or opt_geo_dec:
+        from jax.flatten_util import ravel_pytree
+        _, dec_unravel = ravel_pytree(dec_structure())
+
+    def dec_tree_of(op):
+        if "dec_flat" in op:
+            return dec_unravel(op["dec_flat"])
+        return op["dec"]
+
     def merged_params(op):
         pr = dict(params)
-        if opt_color_dec:
-            pr[f"col_{level}"] = op["dec"][f"col_{level}"]
-        if opt_geo_dec:
-            pr[f"geo_{level}"] = op["dec"][f"geo_{level}"]
+        if opt_color_dec or opt_geo_dec:
+            dec = dec_tree_of(op)
+            if opt_color_dec:
+                pr[f"col_{level}"] = dec[f"col_{level}"]
+            if opt_geo_dec:
+                pr[f"geo_{level}"] = dec[f"geo_{level}"]
         return pr
 
     def window_poses(op):
@@ -599,7 +624,9 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 [jnp.full((C,), lrs[1]), jnp.full((C,), lrs[2])])}
         else:
             tree = {"geo": lrs[1], "col": lrs[2]}
-        if opt_color_dec or opt_geo_dec:
+        if "dec_flat" in opt_params:
+            tree["dec_flat"] = lrs[0]
+        elif opt_color_dec or opt_geo_dec:
             tree["dec"] = jax.tree.map(lambda _: lrs[0], opt_params["dec"])
         if use_exposure and "expo_feat" in opt_params:
             tree["expo_feat"] = jnp.asarray(0.001)
@@ -953,7 +980,11 @@ class Mapper:
         elif self.more_iters_when_adding and idx > 0:
             n = int(np.clip(n_joint * frame_pts_add / 300,
                             int(self.min_iter_ratio * n_joint), 2 * n_joint))
-            n_joint = bucket_iters(n, self.iters)
+            # exact_iter_counts: reference-semantics ablation knob — use
+            # the exact count (unbounded XLA program variants) instead of
+            # the <=12%-deviation bucket ladder
+            n_joint = (n if self.cfg["mapping"].get("exact_iter_counts")
+                       else bucket_iters(n, self.iters))
         schedules = build_schedule(
             n_joint, self.mid_iter_ratio,
             0.0 if color_refine else self.geo_iter_ratio, init,
@@ -1114,11 +1145,15 @@ class Mapper:
             else:
                 opt_params = {"geo": geo_c, "col": col_c}
             if opt_color_dec or opt_geo_dec:
-                opt_params["dec"] = {}
+                from jax.flatten_util import ravel_pytree
+                dec_tree = {}
                 if opt_color_dec:
-                    opt_params["dec"][f"col_{level}"] = new_params[f"col_{level}"]
+                    dec_tree[f"col_{level}"] = new_params[f"col_{level}"]
                 if opt_geo_dec:
-                    opt_params["dec"][f"geo_{level}"] = new_params[f"geo_{level}"]
+                    dec_tree[f"geo_{level}"] = new_params[f"geo_{level}"]
+                # flat decoder vector: one Adam leaf (see map_scan)
+                dec_flat, self._dec_unravel = ravel_pytree(dec_tree)
+                opt_params["dec_flat"] = dec_flat
             if self.use_exposure:
                 opt_params["expo_feat"] = jnp.asarray(new_expo)
             if use_ba:
@@ -1167,10 +1202,12 @@ class Mapper:
             else:
                 npc.scatter_feats(uniq, opt_params["geo"],
                                   opt_params["col"], level)
-            if opt_color_dec:
-                new_params[f"col_{level}"] = opt_params["dec"][f"col_{level}"]
-            if opt_geo_dec:
-                new_params[f"geo_{level}"] = opt_params["dec"][f"geo_{level}"]
+            if opt_color_dec or opt_geo_dec:
+                dec_tree = self._dec_unravel(opt_params["dec_flat"])
+                if opt_color_dec:
+                    new_params[f"col_{level}"] = dec_tree[f"col_{level}"]
+                if opt_geo_dec:
+                    new_params[f"geo_{level}"] = dec_tree[f"geo_{level}"]
             if self.use_exposure:
                 new_expo = np.asarray(opt_params["expo_feat"])
             if use_ba:

@@ -274,21 +274,21 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             row[:, 7 + SK:7 + 2 * SK], jnp.int32).reshape(-1, k_nn)
         return (i, j, d_gt, c_gt, rq), (D, I)
 
-    def make_step(stage, level_arrays, inputs, knn_cache, cat_feats,
-                  packed=None):
-        def step(carry, key_it):
+    def make_step(stage, level_arrays, inputs, knn_cache, cat_feats):
+        def step(carry, xs):
             op, ostate, best_loss, best_cam = carry
-            if pool_factor > 1:
-                # PER-ITERATION resampling from the pooled rays + cached
-                # neighbours (reference freshness, Tracker.py:128-168, at
-                # one row-gather's cost instead of a new search)
-                sel = jax.random.randint(key_it, (pixels,), 0, n_draw)
+            if pool_factor > 1 and union_u <= 0:
+                # PER-ITERATION resampling (reference freshness,
+                # Tracker.py:128-168): this iteration's rows were
+                # pre-gathered into the scan xs (run_stage), so the loop
+                # body only slices its (pixels, 87) block — no in-loop
+                # gathers at all (the iteration is op-count bound)
+                it_inputs, it_cache = unpack_rows(xs)
+            elif pool_factor > 1:
+                sel = jax.random.randint(xs, (pixels,), 0, n_draw)
                 sel = shard_batch(mesh, sel)
-                if union_u > 0:
-                    it_inputs = tuple(a[sel] for a in inputs)
-                    it_cache = tuple(a[sel] for a in knn_cache)
-                else:
-                    it_inputs, it_cache = unpack_rows(packed[sel])
+                it_inputs = tuple(a[sel] for a in inputs)
+                it_cache = tuple(a[sel] for a in knn_cache)
             else:
                 it_inputs, it_cache = inputs, knn_cache
             loss, grads = jax.value_and_grad(
@@ -406,14 +406,26 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             cache = stage_knn(inputs, tile_index, level_arrays[0],
                               cat_feats, current_cam(carry),
                               rcfg.N_surface)
-            packed = (pack_pool(inputs, cache)
-                      if pool_factor > 1 and union_u <= 0 else None)
-            it_keys = jax.random.split(
-                jax.random.fold_in(k, 10_000 + s), sub)
+            if pool_factor > 1 and union_u <= 0:
+                # pre-gather every iteration's fresh subset up-front: one
+                # (sub*pixels)-row gather from the packed pool, fed to the
+                # scan as xs (sliced per iteration for free)
+                packed = pack_pool(inputs, cache)
+                sel = jax.random.randint(
+                    jax.random.fold_in(k, 10_000 + s),
+                    (sub, pixels), 0, n_draw)
+                xs = packed[sel]                  # (sub, pixels, 87)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    xs = jax.lax.with_sharding_constraint(
+                        xs, NamedSharding(mesh,
+                                          PartitionSpec(None, "dp", None)))
+            else:
+                xs = jax.random.split(
+                    jax.random.fold_in(k, 10_000 + s), sub)
             carry, ls = jax.lax.scan(
-                make_step(stage, level_arrays, inputs, cache, cat_feats,
-                          packed),
-                carry, it_keys)
+                make_step(stage, level_arrays, inputs, cache, cat_feats),
+                carry, xs)
             losses.append(ls)
         return carry, (jnp.concatenate(losses) if losses
                        else jnp.zeros((0,), jnp.float32))

@@ -574,3 +574,75 @@ def test_track_frame_pool_factor(rng):
     # consecutive losses must not be identical
     l2 = np.asarray(losses2)
     assert np.abs(np.diff(l2)).min() > 0
+
+
+@pytest.mark.slow
+def test_map_scan_dec_flat_matches_tree(rng):
+    """The flat decoder-vector Adam carry (one leaf; see map_scan) is
+    mathematically identical to the per-leaf tree carry — elementwise
+    Adam with one shared scalar LR commutes with flattening."""
+    from hpslam_tpu import renderer as R
+    from hpslam_tpu.ops import optim as Opt
+    from jax.flatten_util import ravel_pytree
+
+    mcfg = small_cfg()
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+
+    H, W, F = 24, 32, 2
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                     -np.ones_like(ii, float)], -1)
+    depth = (2.0 / -dirs[..., 2]).astype(np.float32)
+    color_img = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    colors = np.broadcast_to(color_img, (F, H, W, 3)).copy()
+    depths = np.broadcast_to(depth, (F, H, W)).copy()
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    rq = np.full((F, H, W), 0.4, np.float32)
+    pools = np.broadcast_to(np.arange(H * W, dtype=np.int32),
+                            (F, H * W)).copy()
+    pool_lens = np.full((F,), H * W, np.int32)
+    expo_stack = np.zeros((F, 8), np.float32)
+    n_iters = 8
+    stage_ids = np.concatenate([np.zeros(3, np.int32), np.ones(5, np.int32)])
+    lr_table = np.tile(np.array([[0.005, 0.03, 0.02, 0.0]], np.float32),
+                       (n_iters, 1))
+    cache_pix, cacheD, cacheI = build_pixel_knn_cache(
+        jax.random.PRNGKey(7), jnp.asarray(depths), jnp.asarray(c2ws),
+        jnp.asarray(pools), jnp.asarray(pool_lens),
+        KK.build_tiles(pos, count),
+        P=256, S=5, k=8, H=H, W=W, fx=fx, fy=fy, cx=cx, cy=cy,
+        near_surface=0.96, far_surface=1.04)
+
+    def run(flat):
+        dec_tree = jax.tree.map(jnp.array, {"col_fine": params["col_fine"]})
+        if flat:
+            vec, unravel = ravel_pytree(dec_tree)
+            op = {"geo": jnp.array(geo), "col": jnp.array(col),
+                  "dec_flat": vec}
+        else:
+            op = {"geo": jnp.array(geo), "col": jnp.array(col),
+                  "dec": dec_tree}
+        ost = Opt.init(op)
+        op, ost, losses = map_scan(
+            params, mcfg, rcfg, op, ost, jax.random.PRNGKey(1),
+            jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(c2ws),
+            jnp.asarray(rq), cache_pix, cacheD, cacheI,
+            jnp.asarray(expo_stack), pos, count,
+            jnp.asarray(stage_ids), jnp.asarray(lr_table), jnp.int32(F),
+            level="fine", n_rays=128, F_max=F, H=H, W=W,
+            fx=fx, fy=fy, cx=cx, cy=cy, n_iters=n_iters, use_exposure=False,
+            opt_color_dec=True, opt_geo_dec=False, w_color=0.1,
+            geo_iters=3)
+        dec = (unravel(op["dec_flat"]) if flat else op["dec"])
+        return np.asarray(losses), jax.tree.map(np.asarray, dec)
+
+    l_tree, d_tree = run(False)
+    l_flat, d_flat = run(True)
+    np.testing.assert_allclose(l_flat, l_tree, rtol=1e-5, atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6),
+        d_tree, d_flat)

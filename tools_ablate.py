@@ -39,6 +39,9 @@ def run_variant(name: str, overrides: dict):
     cfg["verbose"] = False
     t0 = time.perf_counter()
     slam = PointSLAM(cfg)
+    print(f"  [cfg] tracker: resample={slam.tracker.resample_stages} "
+          f"pool={slam.tracker.pool_factor} iters={slam.tracker.iters} "
+          f"probe={slam.tracker.knn_probe}", flush=True)
     results, summary = slam.run()
     dt = time.perf_counter() - t0
     rmse = results["absolute_translational_error.rmse"] if results else None
@@ -66,6 +69,25 @@ def main():
         # the wall fixture; searches are ~3.5x faster at probe=8)
         ("probe8", {"tracking.knn_probe": 8, "mapping.knn_probe": 8}),
         ("probe12", {"tracking.knn_probe": 12, "mapping.knn_probe": 12}),
+        # tracker pixel-pool per-iteration resampling (pool_factor):
+        # reference freshness at one search per sub-stage
+        ("pool2", {"tracking.pixel_pool_factor": 2}),
+        ("pool2_r2", {"tracking.pixel_pool_factor": 2,
+                      "tracking.resample_stages": 2}),
+        ("pool4", {"tracking.pixel_pool_factor": 4}),
+        # ALL-SHORTCUTS-OFF (VERDICT r1 item 6): bound the COMBINED drift
+        # of every TPU-design shortcut vs reference semantics — tracker
+        # re-searches every 2 iterations, no union truncation (u = S*k),
+        # 8x mapper pixel pool, exact iteration counts, probe=16, XLA
+        # (unfused, f32) decoder path
+        ("ref_semantics", {"tracking.resample_stages": 30,
+                           "mapping.union_size": 40,
+                           "mapping.pixels_knn_cache": 16000,
+                           "mapping.exact_iter_counts": True,
+                           "tracking.knn_probe": 16,
+                           "mapping.knn_probe": 16,
+                           "model.fused_mlp": False,
+                           "model.mm_bf16": False}),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     rows = []

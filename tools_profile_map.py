@@ -93,8 +93,10 @@ def main():
         # arrays (params[...]) in op without copying.
         op = {"feat": jnp.concatenate([geo_c, col_c], 1)}
         if opt_color_dec:
-            op["dec"] = {"col_fine": jax.tree.map(jnp.copy,
-                                                  params["col_fine"])}
+            from jax.flatten_util import ravel_pytree
+            dec_tree = {"col_fine": jax.tree.map(jnp.copy,
+                                                 params["col_fine"])}
+            op["dec_flat"], _ = ravel_pytree(dec_tree)
         if use_exposure:
             op["expo_feat"] = jnp.zeros((8,), jnp.float32)
         ost = Opt.init(op)

@@ -123,6 +123,10 @@ def main():
         ("i2r1 fused px1000", dict(iters=2, resample=1, fused=True, pixels=1000)),
         ("i2r1 fused nocolor", dict(iters=2, resample=1, fused=True, use_color=False)),
         # pixel-pool per-iteration resampling (tracker pool_factor)
+        ("xpool2 i2", dict(resample=1, pf=2, iters=2)),
+        ("xpool1 i2", dict(resample=1, iters=2)),
+        ("xpool2 i102", dict(resample=1, pf=2, iters=102)),
+        ("xpool1 i102", dict(resample=1, iters=102)),
         ("pool2 r1", dict(resample=1, pf=2)),
         ("pool2 r2", dict(resample=2, pf=2)),
         ("pool4 r1", dict(resample=1, pf=4)),
