@@ -349,7 +349,7 @@ def unique_bucket(n: int, cap: int) -> int:
     static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
                      "fx", "fy", "cx", "cy", "n_iters", "use_exposure",
                      "opt_color_dec", "opt_geo_dec", "w_color", "use_ba",
-                     "use_union", "geo_iters", "mesh"),
+                     "use_union", "geo_iters", "mesh", "pool_thresh"),
     donate_argnames=("opt_params", "opt_state"))
 def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              opt_params, opt_state, key,
@@ -364,7 +364,8 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
              n_iters: int, use_exposure: bool, opt_color_dec: bool,
              opt_geo_dec: bool, w_color: float, use_ba: bool = False,
              cam_trainable=None, use_union: bool = False,
-             cache_packed=None, geo_iters: int = -1, mesh=None):
+             cache_packed=None, geo_iters: int = -1, mesh=None,
+             pool_thresh: bool = True):
     """Run one LEVEL PHASE of the mapping schedule (mid stages or fine
     stages).
 
@@ -563,14 +564,32 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             raw, z, rays_d, occupancy=rcfg.occupancy, coef=rcfg.sigmoid_coef)
         return depth, unc, color, vmask
 
+    # 'inside' depth-outlier threshold (reference Mapper.py's per-batch
+    # median/max filter): each iteration's batch is a uniform draw from the
+    # cached pixel pool, so the pool statistics equal the batch statistics
+    # up to O(1/sqrt(n_rays)) sampling noise — compute the threshold ONCE
+    # per phase instead of sorting 10k depths inside every scan iteration
+    # (the loop is op-count bound, ops/fused_mlp.py).  Uses the lower
+    # median; ABLATIONS.md ref_semantics bounds the combined drift.
+    if pool_thresh:
+        pj, pi = cache_pix // W, cache_pix % W
+        d_pool = depths[jnp.arange(F_max)[:, None], pj, pi]
+        validf = jnp.arange(F_max)[:, None] < F_actual
+        sd = jnp.sort(jnp.where(validf, d_pool, jnp.inf).reshape(-1))
+        n_val = F_actual * cache_pix.shape[1]
+        med = sd[jnp.maximum((n_val - 1) // 2, 0)]
+        mx = sd[jnp.maximum(n_val - 1, 0)]
+        inside_thresh = jnp.minimum(10.0 * med, 1.2 * mx)
+
     def stage_loss(op, k, stage):
         pr = merged_params(op)
         if use_union:
             fid, rays_d, d_gt, c_gt, z_c, pts_c, kcache = sample_rays(k, op)
         else:
             fid, rays_o, rays_d, d_gt, c_gt, rq, kcache = sample_rays(k, op)
-        inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
-                                     1.2 * jnp.max(d_gt))
+        inside = (d_gt <= inside_thresh if pool_thresh
+                  else d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
+                                           1.2 * jnp.max(d_gt)))
 
         def run_stage(stage):
             if use_union:
@@ -1193,7 +1212,9 @@ class Mapper:
                 cam_trainable=(jnp.asarray(cam_trainable) if use_ba
                                else None),
                 use_union=use_union, cache_packed=cache_packed,
-                mesh=getattr(slam, "mesh", None), **common)
+                mesh=getattr(slam, "mesh", None),
+                pool_thresh=bool(self.cfg["mapping"].get(
+                    "pool_inside_thresh", True)), **common)
 
             if use_union:
                 Cd = slam.mcfg.c_dim

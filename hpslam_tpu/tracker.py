@@ -198,15 +198,20 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             color = jnp.where(nz[:, None], color, 0.0)
         return depth, unc, color, vmask
 
-    def loss_fn(op, stage, level_arrays, inputs, knn_cache, cat_feats):
+    def loss_fn(op, stage, level_arrays, inputs, knn_cache, cat_feats,
+                inside_thresh):
         cam, pr, expo = assemble(op)
         c2w = G.get_camera_from_tensor(cam)
         i, j, d_gt, c_gt, rq = inputs
         rays_o, rays_d = G.get_rays_from_uv(i, j, c2w, fx, fy, cx, cy)
         pos, count, geo, col = level_arrays
 
-        inside = d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
-                                     1.2 * jnp.max(d_gt))
+        # threshold hoisted to run_stage: the sub-stage pixel set is frozen
+        # (reference Tracker.py:216 computes it per batch; identical here
+        # since batch == stage set, and a 5k-element sort inside the scan
+        # is pure per-iteration overhead).  pool_factor > 1 uses the pool's
+        # statistics (superset of each iteration's draw).
+        inside = d_gt <= inside_thresh
         if union_u > 0:
             depth, unc, color, _ = render_union_track(
                 pr, stage, rays_o, rays_d, d_gt, rq, knn_cache, expo)
@@ -274,7 +279,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             row[:, 7 + SK:7 + 2 * SK], jnp.int32).reshape(-1, k_nn)
         return (i, j, d_gt, c_gt, rq), (D, I)
 
-    def make_step(stage, level_arrays, inputs, knn_cache, cat_feats):
+    def make_step(stage, level_arrays, inputs, knn_cache, cat_feats,
+                  inside_thresh):
         def step(carry, xs):
             op, ostate, best_loss, best_cam = carry
             if pool_factor > 1 and union_u <= 0:
@@ -293,7 +299,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 it_inputs, it_cache = inputs, knn_cache
             loss, grads = jax.value_and_grad(
                 lambda o: loss_fn(o, stage, level_arrays, it_inputs,
-                                  it_cache, cat_feats))(op)
+                                  it_cache, cat_feats, inside_thresh))(op)
             op, ostate = Opt.update(grads, ostate, op, lr_tree)
             cam = (jnp.concatenate([op["quad"], op["T"]])
                    if separate_lr else op["cam"])
@@ -406,6 +412,10 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             cache = stage_knn(inputs, tile_index, level_arrays[0],
                               cat_feats, current_cam(carry),
                               rcfg.N_surface)
+            # per-sub-stage 'inside' threshold (see loss_fn)
+            d_gt_stage = inputs[2]
+            inside_thresh = jnp.minimum(10.0 * jnp.median(d_gt_stage),
+                                        1.2 * jnp.max(d_gt_stage))
             if pool_factor > 1 and union_u <= 0:
                 # pre-gather every iteration's fresh subset up-front: one
                 # (sub*pixels)-row gather from the packed pool, fed to the
@@ -424,7 +434,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 xs = jax.random.split(
                     jax.random.fold_in(k, 10_000 + s), sub)
             carry, ls = jax.lax.scan(
-                make_step(stage, level_arrays, inputs, cache, cat_feats),
+                make_step(stage, level_arrays, inputs, cache, cat_feats,
+                          inside_thresh),
                 carry, xs)
             losses.append(ls)
         return carry, (jnp.concatenate(losses) if losses

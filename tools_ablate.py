@@ -80,7 +80,8 @@ def main():
         # re-searches every 2 iterations, no union truncation (u = S*k),
         # 8x mapper pixel pool, exact iteration counts, probe=16, XLA
         # (unfused, f32) decoder path
-        ("ref_semantics", {"tracking.resample_stages": 30,
+        ("ref_semantics", {"mapping.pool_inside_thresh": False,
+                           "tracking.resample_stages": 30,
                            "mapping.union_size": 40,
                            "mapping.pixels_knn_cache": 16000,
                            "mapping.exact_iter_counts": True,
