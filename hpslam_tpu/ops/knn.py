@@ -209,6 +209,26 @@ def topk_extract(d2: jnp.ndarray, k: int):
     return jnp.stack(Ds, -1), jnp.stack(Is, -1)
 
 
+def _select_tiles(lb2: jnp.ndarray, probe: int) -> jnp.ndarray:
+    """Top-``probe`` tile ids by lower bound, (q, T) -> (q, probe) int32.
+
+    approx_min_k with aggregate_to_topk=True lowers to a FULL-row sort on
+    TPU (~23 ms at (25k, 4096) — the dominant cost of the whole search).
+    Two-stage instead: the raw PartialReduce (aggregate_to_topk=False,
+    recall_target=0.95 -> 256 bin minima) + an exact ``probe``-pass argmin
+    narrow.  Measured 2x faster at the tracking operating point with
+    slightly HIGHER recall than the aggregated form (k=8 recall 0.9978 vs
+    0.9958 on the 300k wall cloud).  Small T falls back to the one-shot
+    form (the sort is cheap there and PartialReduce needs wide rows)."""
+    if lb2.shape[1] >= 512:
+        v, ti = jax.lax.approx_min_k(lb2, probe, recall_target=0.95,
+                                     aggregate_to_topk=False)
+        _, sel = topk_extract(v, probe)
+        return jnp.take_along_axis(ti.astype(jnp.int32), sel, axis=1)
+    _, tsel = jax.lax.approx_min_k(lb2, probe, recall_target=0.99)
+    return tsel.astype(jnp.int32)
+
+
 def _spread_bits(x):
     """Interleave-ready 10-bit spread (classic Morton bit twiddling)."""
     x = (x | (x << 16)) & jnp.uint32(0x030000FF)
@@ -300,8 +320,7 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
                                         q[:, c:c + 1] - tile_hi[c][None]),
                             0.0)
             lb2 = lb2 + d * d
-        _, tsel = jax.lax.approx_min_k(lb2, probe, recall_target=0.99)
-        tsel = tsel.astype(jnp.int32)
+        tsel = _select_tiles(lb2, probe)
         # contiguous whole-tile gathers (rows of ``tile`` floats per
         # coordinate), not per-point row gathers — the difference between
         # ~50 and ~500 ms
@@ -399,8 +418,7 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
                                 pe[:, e, c:c + 1] - tile_hi[c][None]), 0.0)
                 b = b + dd * dd
             lb2 = jnp.minimum(lb2, b)
-        _, tsel = jax.lax.approx_min_k(lb2, probe, recall_target=0.99)
-        tsel = tsel.astype(jnp.int32)
+        tsel = _select_tiles(lb2, probe)
         # ---- whole-tile candidate gather, once per ray
         cpos = [pos_tiles[c][tsel].reshape(rc, probe * tile)
                 for c in range(3)]
