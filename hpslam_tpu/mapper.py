@@ -476,7 +476,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             pm = row[:, o:o + S_] > 0.5; o += S_
             Wm = row[:, o:o + S_ * u].reshape(-1, S_, u); o += S_ * u
             uids = jax.lax.bitcast_convert_type(row[:, o:o + u], jnp.int32)
-            return fid, rays_d, d_gt, c_gt, z, pts, (uids, Wm, pm)
+            return fid, rays_d, d_gt, c_gt, z, pts, (uids, Wm, pm), row
         idx = cache_pix[fid, slot]
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
@@ -581,15 +581,58 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         mx = sd[jnp.maximum(n_val - 1, 0)]
         inside_thresh = jnp.minimum(10.0 * med, 1.2 * mx)
 
+    # whole-iteration fused objective (ops/fused_mlp.nicer_fused_maploss):
+    # trunks + compositor + exposure + masked L1 losses + union-mix
+    # backward in ONE kernel pair — per-iteration XLA shrinks to the two
+    # row gathers, the feature scatter-add, the affine table and Adam
+    use_fused_loss = (use_union and mcfg.fused_composite
+                      and Dec.fused_usable(mcfg))
+
+    def exposure_sel(op, fid, dtype=jnp.float32):
+        """Per-ray exposure affine rows via one-hot matmul (see below)."""
+        dec = merged_params(op)[f"col_{level}"]
+        ef = jax.lax.stop_gradient(expo_stack)
+        if "expo_feat" in op:
+            ef = ef.at[F_actual - 1].set(op["expo_feat"])
+        rots, transs = jax.vmap(
+            lambda e: Dec.exposure_affine(dec, e))(ef)
+        oh = (fid[:, None] == jnp.arange(F_max)[None, :]).astype(dtype)
+        aff = jnp.concatenate([rots.reshape(F_max, 9), transs], axis=1)
+        return jnp.matmul(oh, aff)                           # (n, 12)
+
     def stage_loss(op, k, stage):
         pr = merged_params(op)
         if use_union:
-            fid, rays_d, d_gt, c_gt, z_c, pts_c, kcache = sample_rays(k, op)
+            (fid, rays_d, d_gt, c_gt, z_c, pts_c, kcache,
+             row) = sample_rays(k, op)
         else:
             fid, rays_o, rays_d, d_gt, c_gt, rq, kcache = sample_rays(k, op)
         inside = (d_gt <= inside_thresh if pool_thresh
                   else d_gt <= jnp.minimum(10.0 * jnp.median(d_gt),
                                            1.2 * jnp.max(d_gt)))
+        if use_fused_loss:
+            from .ops import fused_mlp as FM
+            uids = kcache[0]
+            n = row.shape[0]
+            u_sz_ = uids.shape[-1]
+            uf = op["feat"][uids].reshape(n, -1)
+            okf = ((d_gt > 0) & inside).astype(jnp.float32)[:, None]
+            with_color = stage.startswith("color")
+            use_aff = bool(use_exposure) and with_color
+            aff = (exposure_sel(op, fid) if use_aff
+                   else jnp.zeros((n, 12), jnp.float32))
+            gd = pr[f"geo_{level}"]
+            cd = pr[f"col_{level}"]
+            gl, cl = FM.nicer_fused_maploss(
+                uf, aff, tuple(FM.flatten_core(cd["core"])), row, okf,
+                tuple(FM.flatten_core(gd["core"])), (gd["B"], cd["B"]),
+                mcfg.n_blocks, mcfg.skip, with_color, rcfg.N_surface,
+                u_sz_, mcfg.c_dim, float(rcfg.sigmoid_coef),
+                not mcfg.encode_exposure, use_aff, float(w_color),
+                need_wgrads=opt_color_dec)
+            if with_color:
+                return gl + w_color * cl, gl, cl
+            return gl, gl, jnp.zeros(())
 
         def run_stage(stage):
             if use_union:
