@@ -615,9 +615,15 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             uids = kcache[0]
             n = row.shape[0]
             u_sz_ = uids.shape[-1]
-            uf = op["feat"][uids].reshape(n, -1)
-            okf = ((d_gt > 0) & inside).astype(jnp.float32)[:, None]
             with_color = stage.startswith("color")
+            Cd_ = mcfg.c_dim
+            # geometry stages gather/scatter only the geo half of the
+            # feature rows — the colour columns have zero cotangent there
+            # and the row gather + duf scatter-add dominate the
+            # per-iteration XLA cost
+            feat_v = op["feat"] if with_color else op["feat"][:, :Cd_]
+            uf = feat_v[uids].reshape(n, -1)
+            okf = ((d_gt > 0) & inside).astype(jnp.float32)[:, None]
             use_aff = bool(use_exposure) and with_color
             aff = (exposure_sel(op, fid) if use_aff
                    else jnp.zeros((n, 12), jnp.float32))

@@ -42,6 +42,7 @@ when optimizing them (models/decoder.py eval_stage gates on
 """
 from __future__ import annotations
 
+import os
 import functools
 import math
 
@@ -911,12 +912,6 @@ nicer_fused_composite.defvjp(_ncomp_fwd, _ncomp_bwd)
 # the d_ufeat scatter-add, the affine-table build, and Adam.
 
 
-# padded union-feature slot layout (see _maploss_common): half-stride and
-# full stride in lanes; C <= 128 is asserted by the wrappers
-_UFH = 128
-_UFS = 256
-
-
 def _canon(x):
     """Force canonical (offset-0) vector layout via an identity matmul.
 
@@ -976,23 +971,31 @@ def _maploss_common(n_blocks, skip, n_geo, with_color, exact, S, u, C,
             pc_parts.append(jnp.concatenate([jnp.sin(pc), jnp.cos(pc)],
                                             -1))
     # union feature mix (interpolate.union_gather) per slice.  ``uf``
-    # arrives PADDED to 128-lane slots ([geo C | 0.. | col C | 0..] per
-    # union id, stride 256) so every slice below starts at lane offset 0
-    # — tpu.concatenate requires matching offsets on the sublane-concat
-    # operands.
+    # stays in the packed (bn, u*fstride) layout ([geo C | col C] per
+    # union id with colour, geo-only without — geometry stages then move
+    # half the gather/scatter bytes); mixed-lane-offset slices are fine
+    # in ELEMENTWISE ops (Mosaic relayouts them), and the dim-0 concat
+    # operands are canonicalized via _canon, so no padded copy of the
+    # feature rows is ever materialized (the earlier 128-lane-slot
+    # padding cost 4x the HBM traffic on the dominant per-iteration
+    # input and made the fused path SLOWER than the unfused chain).
+    fstride = 2 * C if with_color else C
     cg_s, cc_s = [], []
     for s in range(S):
         accg = jnp.zeros((bn, C), jnp.float32)
-        accc = jnp.zeros((bn, C), jnp.float32)
+        accc = jnp.zeros((bn, C), jnp.float32) if with_color else None
         for j in range(u):
             wj = Wm[:, s * u + j:s * u + j + 1]
-            accg = accg + wj * uf[:, j * _UFS:j * _UFS + C]
-            accc = accc + wj * uf[:, j * _UFS + _UFH:j * _UFS + _UFH + C]
+            accg = accg + wj * uf[:, j * fstride:j * fstride + C]
+            if with_color:
+                accc = accc + wj * uf[:, j * fstride + C:
+                                      (j + 1) * fstride]
         pm_s = pm[:, s:s + 1] > 0.5
-        cg_s.append(jnp.where(pm_s, accg, 0.0))
-        cc_s.append(jnp.where(pm_s, accc, 0.0))
+        cg_s.append(_canon(jnp.where(pm_s, accg, 0.0)))
+        if with_color:
+            cc_s.append(_canon(jnp.where(pm_s, accc, 0.0)))
     cg_all = jnp.concatenate(cg_s, 0)                        # (S*bn, C)
-    cc_all = jnp.concatenate(cc_s, 0)
+    cc_all = jnp.concatenate(cc_s, 0) if with_color else None
 
     eg = jnp.concatenate(eg_parts, 0)
     occ_out = _trunk_fwd_block(eg, cg_all, gws, n_blocks, skip, _RELU,
@@ -1084,12 +1087,19 @@ def _maploss_bwd_kernel(n_blocks, skip, n_geo, with_color, need_wgrads,
                         w_color,
                         row_ref, uf_ref, okf_ref, aff_ref, Bg_ref, Bc_ref,
                         *refs):
+    """Combined loss + gradient kernel: one launch computes the masked L1
+    losses AND every cotangent.  custom_vjp runs fwd then bwd; a separate
+    fwd kernel would recompute the whole forward a second time (measured
+    0.73 ms/iter of the 3.6 ms mapping iteration), so the vjp fwd rule
+    calls THIS kernel once and stashes the grads as residuals."""
     idx = 0
     gws = [r[:] for r in refs[idx:idx + n_geo]]
     idx += n_geo
     n_colw = 2 * 2 * n_blocks + 2 if with_color else 0
     cws = [r[:] for r in refs[idx:idx + n_colw]]
     idx += n_colw
+    gl_ref = refs[idx]; idx += 1
+    cl_ref = refs[idx]; idx += 1
     duf_ref = refs[idx]; idx += 1
     daff_ref = refs[idx]; idx += 1
     dcol_refs = refs[idx:]
@@ -1107,6 +1117,25 @@ def _maploss_bwd_kernel(n_blocks, skip, n_geo, with_color, need_wgrads,
     wsum, depth = comp["wsum"], comp["depth"]
     a_s, t_s, w_s = comp["a_s"], comp["t_s"], comp["w_s"]
     maskf = mask.astype(jnp.float32)
+
+    # loss partials (2D keepdims: Mosaic cannot store scalars to VMEM)
+    gl = jnp.sum(jnp.where(mask, jnp.abs(comp["d_gt"] - comp["depth"]),
+                           0.0), axis=0, keepdims=True)          # (1, 1)
+    cl = (jnp.sum(jnp.sum(jnp.where(
+        mask, jnp.abs(comp["c_gt"] - comp["color"]), 0.0),
+        axis=0, keepdims=True), axis=1, keepdims=True)
+        if with_color else jnp.zeros((1, 1), jnp.float32))
+    first_step = pl.program_id(0) == 0
+
+    @pl.when(first_step)
+    def _():
+        gl_ref[:] = gl
+        cl_ref[:] = cl
+
+    @pl.when(jnp.logical_not(first_step))
+    def _():
+        gl_ref[:] = gl_ref[:] + gl
+        cl_ref[:] = cl_ref[:] + cl
 
     # loss cotangents (dL = 1): geometry L1 + w_color * colour L1
     g_depth = -jnp.sign(comp["d_gt"] - comp["depth"]) * maskf
@@ -1187,28 +1216,31 @@ def _maploss_bwd_kernel(n_blocks, skip, n_geo, with_color, need_wgrads,
         d_cc = None
 
     # union-mix backward: d_ufeat[:, j] = sum_s Wm[:, s*u+j] * dacc_s
-    # (Wm itself is a phase constant — no cotangent).  Output is the
-    # UNPADDED (bn, u*2C) layout the feature scatter-add consumes.
+    # (Wm itself is a phase constant — no cotangent).  Output matches the
+    # packed uf layout the feature scatter-add consumes (geo-only when
+    # with_color is off).
     dg_s, dc_s = [], []
     for s in range(S):
         pm_s = pm[:, s:s + 1] > 0.5
         dg_s.append(jnp.where(pm_s, d_cg[s * bn:(s + 1) * bn], 0.0))
-        dc_s.append(jnp.where(pm_s, d_cc[s * bn:(s + 1) * bn], 0.0)
-                    if with_color else jnp.zeros((bn, C), jnp.float32))
+        if with_color:
+            dc_s.append(jnp.where(pm_s, d_cc[s * bn:(s + 1) * bn], 0.0))
     duf_cols = []
     for j in range(u):
         accg = jnp.zeros((bn, C), jnp.float32)
-        accc = jnp.zeros((bn, C), jnp.float32)
+        accc = jnp.zeros((bn, C), jnp.float32) if with_color else None
         for s in range(S):
             wj = Wm[:, s * u + j:s * u + j + 1]
             accg = accg + wj * dg_s[s]
-            accc = accc + wj * dc_s[s]
+            if with_color:
+                accc = accc + wj * dc_s[s]
         duf_cols.append(accg)
-        duf_cols.append(accc)
+        if with_color:
+            duf_cols.append(accc)
     duf_ref[:] = jnp.concatenate(duf_cols, 1)
 
 
-def _maploss_specs(D, u, C, bn, Bg, Bc, w2):
+def _maploss_specs(D, uf_w, bn, Bg, Bc, w2):
     def rrow(width):
         return pl.BlockSpec((bn, width), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -1217,20 +1249,10 @@ def _maploss_specs(D, u, C, bn, Bg, Bc, w2):
         return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    in_specs = [rrow(D), rrow(u * _UFS), rrow(1), rrow(12),
+    in_specs = [rrow(D), rrow(uf_w), rrow(1), rrow(12),
                 full_spec(Bg), full_spec(Bc)] \
         + [full_spec(w) for w in w2]
     return rrow, full_spec, in_specs
-
-
-def _pad_union_feats(uf, u: int, C: int):
-    """(n, u*2C) packed union rows -> (n, u*_UFS) 128-lane-slot layout."""
-    assert C <= _UFH
-    n = uf.shape[0]
-    uf3 = uf.reshape(n, u, 2 * C)
-    zg = jnp.zeros((n, u, _UFH - C), jnp.float32)
-    return jnp.concatenate([uf3[:, :, :C], zg, uf3[:, :, C:], zg],
-                           -1).reshape(n, u * _UFS)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1244,14 +1266,15 @@ def _maploss_fwd(row, uf, okf, aff, Bg, Bc, geo_flat, col_flat,
     bn = _pick_bn_rays(n_r, S)
     nr_pad = -(-n_r // bn) * bn
     rowp = _pad_rows(row, nr_pad)
-    ufp = _pad_rows(_pad_union_feats(uf, u, C), nr_pad)
+    ufp = _pad_rows(uf, nr_pad)
     # padded rays must not contribute: zero ok mask
     okp = _pad_rows(okf, nr_pad)
     affp = _pad_rows(aff, nr_pad)
     grid = (nr_pad // bn,)
     w_all = list(geo_flat) + (list(col_flat) if with_color else [])
     w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
-    rrow, full_spec, in_specs = _maploss_specs(D, u, C, bn, Bg, Bc, w2)
+    rrow, full_spec, in_specs = _maploss_specs(D, uf.shape[1], bn, Bg,
+                                                Bc, w2)
     acc_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_maploss_fwd_kernel, n_blocks, skip,
@@ -1277,20 +1300,27 @@ def _maploss_bwd(row, uf, okf, aff, Bg, Bc, geo_flat, col_flat,
     n_r, D = row.shape
     # smaller ray block than fwd: the bwd also holds the saved trunk
     # activations + both cotangent stacks (bn=200 hit the 16M scoped
-    # VMEM limit at ScanNet dims; 512//S fits with headroom)
-    bn = _pick_bn_rays(n_r, S, cap=max(8, 512 // S))
+    # VMEM limit at ScanNet dims).  Unlike fwd we don't insist bn
+    # divides n_r — grid-step count matters more than a few padded rows
+    # (bn=80 means 125 weight-reload steps at 10k rays; bn=128 means 79).
+    bn = min(max(8, int(os.environ.get("HPSLAM_MAPLOSS_BN", ((512 // S) // 8) * 8))), -(-n_r // 8) * 8)
     nr_pad = -(-n_r // bn) * bn
     rowp = _pad_rows(row, nr_pad)
-    ufp = _pad_rows(_pad_union_feats(uf, u, C), nr_pad)
+    ufp = _pad_rows(uf, nr_pad)
     okp = _pad_rows(okf, nr_pad)
     affp = _pad_rows(aff, nr_pad)
     grid = (nr_pad // bn,)
     w_all = list(geo_flat) + (list(col_flat) if with_color else [])
     w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
     col2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in col_flat]
-    rrow, full_spec, in_specs = _maploss_specs(D, u, C, bn, Bg, Bc, w2)
-    out_specs = [rrow(u * 2 * C), rrow(12)]
-    out_shapes = [jax.ShapeDtypeStruct((nr_pad, u * 2 * C), jnp.float32),
+    rrow, full_spec, in_specs = _maploss_specs(D, uf.shape[1], bn, Bg,
+                                                Bc, w2)
+    acc_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [acc_spec, acc_spec, rrow(uf.shape[1]), rrow(12)]
+    out_shapes = [jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                  jax.ShapeDtypeStruct((nr_pad, uf.shape[1]), jnp.float32),
                   jax.ShapeDtypeStruct((nr_pad, 12), jnp.float32)]
     if with_color and need_wgrads:
         for w in col2:
@@ -1305,13 +1335,14 @@ def _maploss_bwd(row, uf, okf, aff, Bg, Bc, geo_flat, col_flat,
         out_specs=out_specs, out_shape=out_shapes,
         interpret=_interpret(),
     )(rowp, ufp, okp, affp, Bg, Bc, *w2)
-    duf = outs[0][:n_r]
-    daff = outs[1][:n_r]
+    gl, cl = outs[0][0, 0], outs[1][0, 0]
+    duf = outs[2][:n_r]
+    daff = outs[3][:n_r]
     if with_color and need_wgrads:
-        dcol = [d.reshape(w.shape) for d, w in zip(outs[2:], col_flat)]
+        dcol = [d.reshape(w.shape) for d, w in zip(outs[4:], col_flat)]
     else:
         dcol = [jnp.zeros_like(w) for w in col_flat]
-    return duf, daff, dcol
+    return gl, cl, duf, daff, dcol
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12,
@@ -1341,30 +1372,28 @@ def nicer_fused_maploss(uf, aff, col_core_flat, row, okf, geo_core_flat,
 def _nml_fwd(uf, aff, col_core_flat, row, okf, geo_core_flat, Bs,
              n_blocks, skip, with_color, S, u, C, coef, sigmoid_rgb,
              use_affine, w_color, need_wgrads=True):
-    out = nicer_fused_maploss(uf, aff, col_core_flat, row, okf,
-                              geo_core_flat, Bs, n_blocks, skip,
-                              with_color, S, u, C, coef, sigmoid_rgb,
-                              use_affine, w_color, need_wgrads)
-    return out, (uf, aff, col_core_flat, row, okf, geo_core_flat, Bs)
+    # the combined kernel produces losses AND all cotangents in one
+    # launch; stash the grads as residuals so the bwd rule is only a
+    # cotangent scale (a separate fwd kernel would re-run the whole
+    # forward — measured 0.73 ms/iter of a 3.6 ms mapping iteration)
+    Bg, Bc = Bs
+    gl, cl, duf, daff, dcol = _maploss_bwd(
+        row, uf, okf, aff, Bg, Bc, tuple(geo_core_flat),
+        tuple(col_core_flat), n_blocks, skip, with_color, S, u, C, coef,
+        sigmoid_rgb, use_affine, w_color, need_wgrads)
+    return (gl, cl), (duf, daff, dcol, row, okf, geo_core_flat, (Bg, Bc))
 
 
 def _nml_bwd(n_blocks, skip, with_color, S, u, C, coef, sigmoid_rgb,
              use_affine, w_color, need_wgrads, res, g):
-    (uf, aff, col_core_flat, row, okf, geo_core_flat, (Bg, Bc)) = res
+    (duf, daff, dcol, row, okf, geo_core_flat, (Bg, Bc)) = res
     # the kernel hard-codes the unit cotangent on geo + w_color * col;
     # scale by the actual geo cotangent (the col cotangent is g_geo *
     # w_color on the product path — assert-equivalent by construction)
     g_geo, _g_col = g
-    duf, daff, dcol = _maploss_bwd(
-        row, uf, okf, aff, Bg, Bc, tuple(geo_core_flat),
-        tuple(col_core_flat), n_blocks, skip, with_color, S, u, C, coef,
-        sigmoid_rgb, use_affine, w_color, need_wgrads)
-    duf = duf * g_geo
-    daff = daff * g_geo
-    dcol = jax.tree.unflatten(
-        jax.tree.structure(tuple(col_core_flat)),
-        [d * g_geo for d in dcol])
-    return (duf, daff, dcol, jnp.zeros_like(row), jnp.zeros_like(okf),
+    dcol_t = tuple(d * g_geo for d in dcol)
+    return (duf * g_geo, daff * g_geo, dcol_t, jnp.zeros_like(row),
+            jnp.zeros_like(okf),
             jax.tree.map(jnp.zeros_like, geo_core_flat),
             (jnp.zeros_like(Bg), jnp.zeros_like(Bc)))
 

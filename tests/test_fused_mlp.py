@@ -293,7 +293,9 @@ def test_fused_composite_matches_chain(rng):
 
 
 @pytest.mark.slow
-def test_map_scan_fused_composite_matches(rng):
+@pytest.mark.parametrize("expo_dec", [False, True],
+                         ids=["plain", "expo+decopt"])
+def test_map_scan_fused_composite_matches(rng, expo_dec):
     """map_scan with fused_composite must track the fused-trunks-only
     trajectory (same schedule/PRNG; both use bf16-pass matmuls)."""
     import dataclasses as dc
@@ -305,6 +307,8 @@ def test_map_scan_fused_composite_matches(rng):
     from hpslam_tpu import renderer as R
 
     mcfg = small_cfg()
+    if expo_dec:
+        mcfg = dc.replace(mcfg, encode_exposure=True)
     rcfg = R.RenderConfig(sample_near_pcl=False,
                           near_end_surface=0.96, far_end_surface=1.04)
     params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
@@ -332,6 +336,11 @@ def test_map_scan_fused_composite_matches(rng):
     def run(comp: bool):
         mc = dc.replace(mcfg, fused_mlp=True, fused_composite=comp)
         op = {"feat": jnp.concatenate([geo, col], 1)}
+        if expo_dec:
+            from jax.flatten_util import ravel_pytree
+            op["dec_flat"], _ = ravel_pytree(
+                {"col_fine": jax.tree.map(jnp.copy, params["col_fine"])})
+            op["expo_feat"] = jnp.zeros((8,), jnp.float32)
         ost = Opt.init(op)
         cp, uids, Wm, pm, cconst = build_pixel_union_cache(
             key, depths, c2ws, pools, pool_lens, rq, idx,
@@ -343,7 +352,8 @@ def test_map_scan_fused_composite_matches(rng):
         packed = pack_union_cache(cconst, Wm, pm, uids)
         n_it = 4
         stage_ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
-        lr_table = jnp.tile(jnp.asarray([[0.0, 0.03, 0.005, 0.0]],
+        dec_lr = 0.005 if expo_dec else 0.0
+        lr_table = jnp.tile(jnp.asarray([[dec_lr, 0.03, 0.005, 0.0]],
                                         jnp.float32), (n_it, 1))
         op, _, losses = map_scan(
             params, mc, rcfg, op, ost, key,
@@ -353,13 +363,21 @@ def test_map_scan_fused_composite_matches(rng):
             stage_ids, lr_table, jnp.int32(F),
             level="fine", n_rays=64, F_max=F, H=H, W=W,
             fx=fx, fy=fy, cx=cx, cy=cy,
-            n_iters=n_it, use_exposure=False,
-            opt_color_dec=False, opt_geo_dec=False, w_color=0.1,
+            n_iters=n_it, use_exposure=expo_dec,
+            opt_color_dec=expo_dec, opt_geo_dec=False, w_color=0.1,
             use_union=True, cache_packed=packed, geo_iters=2)
-        return np.asarray(losses), np.asarray(op["feat"])
+        extra = (np.asarray(op["dec_flat"]) if expo_dec
+                 else np.zeros(()))
+        return np.asarray(losses), np.asarray(op["feat"]), extra
 
-    l_ref, f_ref = run(False)
-    l_cmp, f_cmp = run(True)
+    l_ref, f_ref, d_ref = run(False)
+    l_cmp, f_cmp, d_cmp = run(True)
     np.testing.assert_allclose(l_cmp, l_ref, rtol=3e-3, atol=3e-3)
     diff = np.abs(f_cmp - f_ref)
     assert np.quantile(diff, 0.99) < 5e-3, np.quantile(diff, 0.99)
+    if expo_dec:
+        # colour-decoder weights must move identically-ish under the
+        # in-kernel wgrads (exposure affine + core weight cotangents)
+        assert np.any(d_ref != np.asarray(jax.flatten_util.ravel_pytree(
+            {"col_fine": params["col_fine"]})[0]))
+        np.testing.assert_allclose(d_cmp, d_ref, rtol=5e-3, atol=5e-4)

@@ -149,10 +149,20 @@ def main():
         ("color u8 fused no-dec-opt", dict(u_max=8, fused=True, opt_color_dec=False)),
         ("color u8 comp", dict(u_max=8, fused=True, comp=True)),
         ("geometry u8 comp", dict(stage=0, u_max=8, fused=True, comp=True)),
+        ("color u8 comp 2500 rays", dict(u_max=8, fused=True, comp=True,
+                                         n_rays=2500)),
+        ("color u8 comp 5000 rays", dict(u_max=8, fused=True, comp=True,
+                                         n_rays=5000)),
+        ("color u8 comp no-dec-opt", dict(u_max=8, fused=True, comp=True,
+                                          opt_color_dec=False)),
+        ("color u8 comp no-expo", dict(u_max=8, fused=True, comp=True,
+                                       use_exposure=False)),
+        ("color u8 comp U=8192", dict(u_max=8, fused=True, comp=True,
+                                      U_override=8192)),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for tag, kw in variants:
-        if only and not any(o in tag for o in only):
+        if only and not any((o[1:] == tag if o.startswith("=") else o in tag) for o in only):
             continue
         try:
             run(tag, **kw)

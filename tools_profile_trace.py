@@ -72,7 +72,8 @@ def main():
 
     rng = np.random.default_rng(1219)
     mcfg = Dec.ModelConfig(encode_exposure=True, encode_rel_pos_in_col=False,
-                           fused_mlp=(which == "map_fused"))
+                           fused_mlp=which in ("map_fused", "map_comp"),
+                           fused_composite=(which == "map_comp"))
     rcfg = RenderConfig(near_end_surface=0.96, far_end_surface=1.04,
                         sample_near_pcl=False)
     params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
