@@ -86,14 +86,15 @@ class ModelConfig:
     # (reference default) and no rel-pos/normals/view-direction encoding
     # is active — eval_stage falls back to the XLA path otherwise.
     fused_mlp: bool = False
-    # Additionally fold the per-ray occupancy compositor into the fused
-    # FORWARD kernel on the mapper's union path (nicer_fused_composite);
-    # the backward runs the small compositor bwd in XLA on saved occ/rgb
-    # residuals + the existing trunk bwd kernel (Mosaic rejects a fully
-    # fused backward: the ray-major -> sample-major cotangent relayout).
-    # MEASURED A WASH on TPU v5e (colour 4.45 vs 4.55 ms/iter, geometry
-    # 3.76 vs 3.51 — residual outputs + XLA comp bwd offset the folded
-    # fwd ops), so OFF by default; CPU-validated values + grads.
+    # Whole-iteration fused mapping objective on the union path
+    # (ops/fused_mlp.nicer_fused_maploss): trunks + occupancy compositor
+    # + exposure affine + masked L1 losses + all cotangents in ONE
+    # combined Pallas kernel per iteration (slice-major sample stacks
+    # built in-kernel from the packed cache row; no cross-boundary
+    # relayouts).  Measured on TPU v5e at the ScanNet operating point:
+    # colour 4.18 -> 3.89 ms/iter, geometry 3.30 -> 2.65 vs fused trunks
+    # alone.  Requires fused_mlp; renderer-path calls (tracker/eval)
+    # ignore it.
     fused_composite: bool = False
 
     @classmethod

@@ -901,15 +901,19 @@ nicer_fused_composite.defvjp(_ncomp_fwd, _ncomp_bwd)
 # Inputs per grid step (bn rays):
 #   row    (bn, D)       packed phase-constants [z S | pts 3S | rays_d 3 |
 #                        d_gt 1 | c_gt 3 | pm S | Wm S*u | uids u]
-#   ufeat  (bn, u*2C)    per-ray union feature rows (gathered in XLA —
-#                        Mosaic has no vectorized int indexing)
+#   ufeat  (bn, u*fs)    per-ray union feature rows (gathered in XLA —
+#                        Mosaic has no vectorized int indexing); fs = 2C
+#                        with colour, C (geo half only) without
 #   okf    (bn, 1)       (d_gt > 0) & inside  as 0/1 floats
 #   aff    (bn, 12)      per-ray exposure affine rows (row-major 3x3 | 3)
-# Outputs: fwd  -> geo/col loss partials, (1,1) accumulators
-#          bwd  -> d_ufeat (bn, u*2C), d_aff (bn, 12), col-core wgrads
-# The Wm mixing (interpolate.union_gather) and its backward run in-kernel
-# too, so the only per-iteration XLA ops left are the two row gathers,
-# the d_ufeat scatter-add, the affine-table build, and Adam.
+# The grad path runs ONE combined kernel (_maploss_bwd_kernel) producing
+# the loss accumulators AND d_ufeat (bn, u*fs), d_aff (bn, 12) and the
+# col-core wgrads — custom_vjp's fwd rule calls it and stashes the grads
+# as residuals, so no separate forward launch ever runs under grad (the
+# fwd-only kernel below serves undifferentiated primal calls).  The Wm
+# mixing (interpolate.union_gather) and its backward run in-kernel too,
+# so the only per-iteration XLA ops left are the two row gathers, the
+# d_ufeat scatter-add, the affine-table build, and Adam.
 
 
 def _canon(x):
