@@ -1403,3 +1403,456 @@ def _nml_bwd(n_blocks, skip, with_color, S, u, C, coef, sigmoid_rgb,
 
 
 nicer_fused_maploss.defvjp(_nml_fwd, _nml_bwd)
+
+# ---------------------------------------------------------------------------
+# fused TRACKER iteration kernels: pose-differentiable render over the
+# per-stage neighbour cache.  Unlike the mapping kernels, sample
+# positions move every iteration (pts = rays_o + z*rays_d with the pose
+# in rays), so the kernel computes the interpolation weights from cached
+# neighbour positions IN-KERNEL and backpropagates to the rays through
+# both routes (Fourier embeds and the 1/d^2 weights).  The union
+# drop-then-renormalise of tracker.render_union_track reduces exactly to
+# direct k-slot normalised interpolation (weights are non-negative, so
+# the L1 norm over union slots equals the L1 norm over slots), which is
+# what runs here.  Loss masks need batch statistics (tracker.loss_fn
+# outlier rejection), so the kernel returns per-ray depth/var/color and
+# the losses stay in XLA; the custom_vjp backward runs one kernel taking
+# the depth/color cotangents and emitting d_rays / d_aff.
+#
+# Per-stage constants (pack_track_cache):
+#   rowc  (n, 2S+6+3SK)  [z S | d_gt 1 | c_gt 3 | r2 1 | has S | nz 1 |
+#                         cpos SK*3]
+#   cfeat (n, SK*2C)     cached neighbour features [geo C | col C]/slot
+# Per-iteration:
+#   rays  (n, 6)         [rays_o | rays_d]   (pose-differentiable)
+#   aff   (n, 12)        exposure affine rows (same row broadcast; the
+#                        tracker optimises one frame's exposure)
+# Reference semantics: ops/interpolate.interp_weights(diff_pos=True) +
+# decoder.apply_geo/apply_color (per-sample exposure affine + sigmoid,
+# decoder.py:383-390) + ops/composite.raw2outputs.
+
+
+def _trackrow_offsets(S: int, K: int):
+    o_z = 0
+    o_dgt = S
+    o_cgt = S + 1
+    o_r2 = S + 4
+    o_has = S + 5
+    o_cp = 2 * S + 6
+    return o_z, o_dgt, o_cgt, o_r2, o_has, o_cp
+
+
+def _trackloss_common(n_blocks, skip, S, K, C, coef, wmode, use_affine,
+                      sigmoid_plain, exact,
+                      rays, rowc, cfeat, aff, Bg, Bc, gws, cws,
+                      save=False):
+    """Shared forward for the tracker kernel pair.  Returns a dict with
+    per-ray depth/var/color, compositor internals and (save) residuals."""
+    bn = rays.shape[0]
+    o_z, o_dgt, o_cgt, o_r2, o_has, o_cp = _trackrow_offsets(S, K)
+    r2 = rowc[:, o_r2:o_r2 + 1]
+    ro = rays[:, 0:3]
+    rd = rays[:, 3:6]
+
+    pts_s, eg_parts, ec_parts = [], [], []
+    wn_s, wsum_s, cg_s, cc_s = [], [], [], []
+    for s in range(S):
+        z_s = rowc[:, o_z + s:o_z + s + 1]
+        pts = _canon(ro + z_s * rd)                          # (bn, 3)
+        pts_s.append(pts)
+        pg = jnp.dot(2.0 * math.pi * pts, Bg,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+        eg_parts.append(jnp.sin(pg))
+        pc = jnp.dot(2.0 * math.pi * pts, Bc,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+        ec_parts.append(jnp.concatenate([jnp.sin(pc), jnp.cos(pc)], -1))
+        # in-kernel differentiable interpolation weights
+        wj_list, wsum = [], jnp.zeros((bn, 1), jnp.float32)
+        for j in range(K):
+            off = o_cp + (s * K + j) * 3
+            cp = rowc[:, off:off + 3]
+            dif = cp - pts
+            dd = jnp.sum(dif * dif, axis=1, keepdims=True)
+            inr = dd <= r2
+            if wmode == 0:      # 'distance'
+                wj = jnp.where(inr, 1.0 / (dd + 1e-10), 0.0)
+            else:               # 'expo'
+                wj = jnp.where(inr,
+                               jnp.exp(-20.0 * jnp.sqrt(
+                                   jnp.maximum(dd, 1e-12))), 0.0)
+            wj_list.append(wj)
+            wsum = wsum + wj
+        wsafe = jnp.maximum(wsum, 1e-12)
+        accg = jnp.zeros((bn, C), jnp.float32)
+        accc = jnp.zeros((bn, C), jnp.float32)
+        for j in range(K):
+            wn = wj_list[j] / wsafe
+            fo = (s * K + j) * 2 * C
+            accg = accg + wn * cfeat[:, fo:fo + C]
+            accc = accc + wn * cfeat[:, fo + C:fo + 2 * C]
+        has_s = rowc[:, o_has + s:o_has + s + 1] > 0.5
+        cg_s.append(_canon(jnp.where(has_s, accg, 0.0)))
+        cc_s.append(_canon(jnp.where(has_s, accc, 0.0)))
+        wn_s.append(wj_list)
+        wsum_s.append(wsafe)
+
+    eg = jnp.concatenate(eg_parts, 0)                        # (S*bn, Fg)
+    ec = jnp.concatenate(ec_parts, 0)
+    cg_all = jnp.concatenate(cg_s, 0)
+    cc_all = jnp.concatenate(cc_s, 0)
+    occ_out = _trunk_fwd_block(eg, cg_all, gws, n_blocks, skip, _RELU,
+                               save=save, exact=exact)
+    occ_all, saved_g = occ_out if save else (occ_out, None)
+    rgb_out = _trunk_fwd_block(ec, cc_all, cws, n_blocks, skip,
+                               _SOFTPLUS100, save=save, exact=exact)
+    raw_all, saved_c = rgb_out if save else (rgb_out, None)
+
+    # per-sample exposure affine + sigmoid (decoder.apply_color tail)
+    if use_affine:
+        aff_all = jnp.concatenate([aff] * S, 0)              # (S*bn, 12)
+        lin = [sum(raw_all[:, c:c + 1] * aff_all[:, 3 * c + d:3 * c + d + 1]
+                   for c in range(3)) + aff_all[:, 9 + d:9 + d + 1]
+               for d in range(3)]
+        lin_all = jnp.concatenate(lin, 1)
+        rgb_all = jax.nn.sigmoid(lin_all)
+    elif sigmoid_plain:
+        lin_all = None
+        rgb_all = jax.nn.sigmoid(raw_all)
+    else:
+        lin_all = None
+        rgb_all = raw_all
+
+    # occupancy compositor + depth variance (composite.raw2outputs)
+    a_s, t_s, w_s = [], [], []
+    t_run = jnp.ones((bn, 1), jnp.float32)
+    for s in range(S):
+        has_s = rowc[:, o_has + s:o_has + s + 1] > 0.5
+        occ_s = jnp.where(has_s, occ_all[s * bn:(s + 1) * bn], -100.0)
+        a = jax.nn.sigmoid(coef * occ_s)
+        a_s.append(a)
+        t_s.append(t_run)
+        w_s.append(a * t_run)
+        t_run = t_run * (1.0 - a + 1e-10)
+    wsum = sum(w_s) + 1e-10
+    depth = sum(w_s[s] * rowc[:, o_z + s:o_z + s + 1]
+                for s in range(S)) / wsum
+    color = sum(w_s[s] * rgb_all[s * bn:(s + 1) * bn]
+                for s in range(S)) / wsum
+    var = sum(w_s[s] * jnp.square(rowc[:, o_z + s:o_z + s + 1] - depth)
+              for s in range(S))                             # no /wsum
+    return dict(pts_s=pts_s, eg=eg, ec=ec, cg_all=cg_all, cc_all=cc_all,
+                occ_all=occ_all, raw_all=raw_all, rgb_all=rgb_all,
+                lin_all=lin_all, wn_s=wn_s, wsum_s=wsum_s,
+                a_s=a_s, t_s=t_s, w_s=w_s, wsum=wsum,
+                depth=depth, color=color, var=var,
+                saved_g=saved_g, saved_c=saved_c)
+
+
+def _trackloss_fwd_kernel(n_blocks, skip, S, K, C, coef, wmode,
+                          use_affine, sigmoid_plain, exact,
+                          rays_ref, rowc_ref, cfeat_ref, aff_ref,
+                          Bg_ref, Bc_ref, *refs):
+    d_ref, v_ref, c_ref = refs[-3], refs[-2], refs[-1]
+    ws = [r[:] for r in refs[:-3]]
+    n_geo = 4 * n_blocks + 2
+    comp = _trackloss_common(
+        n_blocks, skip, S, K, C, coef, wmode, use_affine, sigmoid_plain,
+        exact, rays_ref[:], rowc_ref[:], cfeat_ref[:], aff_ref[:],
+        Bg_ref[:], Bc_ref[:], ws[:n_geo], ws[n_geo:], save=False)
+    d_ref[:] = comp["depth"]
+    v_ref[:] = comp["var"]
+    c_ref[:] = comp["color"]
+
+
+def _trackloss_bwd_kernel(n_blocks, skip, S, K, C, coef, wmode,
+                          use_affine, sigmoid_plain, exact,
+                          rays_ref, rowc_ref, cfeat_ref, aff_ref,
+                          Bg_ref, Bc_ref, gd_ref, gc_ref, *refs):
+    drays_ref, daff_ref = refs[-2], refs[-1]
+    ws = [r[:] for r in refs[:-2]]
+    n_geo = 4 * n_blocks + 2
+    gws, cws = ws[:n_geo], ws[n_geo:]
+    rays = rays_ref[:]
+    rowc = rowc_ref[:]
+    cfeat = cfeat_ref[:]
+    aff = aff_ref[:]
+    bn = rays.shape[0]
+    o_z, o_dgt, o_cgt, o_r2, o_has, o_cp = _trackrow_offsets(S, K)
+    r2 = rowc[:, o_r2:o_r2 + 1]
+    comp = _trackloss_common(
+        n_blocks, skip, S, K, C, coef, wmode, use_affine, sigmoid_plain,
+        exact, rays, rowc, cfeat, aff, Bg_ref[:], Bc_ref[:],
+        gws, cws, save=True)
+    g_depth = gd_ref[:]                                      # (bn, 1)
+    g_color = gc_ref[:]                                      # (bn, 3)
+    depth, color, wsum = comp["depth"], comp["color"], comp["wsum"]
+    a_s, t_s, w_s = comp["a_s"], comp["t_s"], comp["w_s"]
+    rgb_all = comp["rgb_all"]
+
+    # compositor backward (depth + color; var has stopped gradients)
+    dw_s = []
+    for s in range(S):
+        z_s = rowc[:, o_z + s:o_z + s + 1]
+        rgb_s = rgb_all[s * bn:(s + 1) * bn]
+        dcol_term = jnp.sum(g_color * (rgb_s - color), 1, keepdims=True)
+        dw_s.append((g_depth * (z_s - depth) + dcol_term) / wsum)
+    suffix = jnp.zeros((bn, 1), jnp.float32)
+    da_s = [None] * S
+    for s in range(S - 1, -1, -1):
+        da_s[s] = dw_s[s] * t_s[s] - suffix / (1.0 - a_s[s] + 1e-10)
+        suffix = suffix + dw_s[s] * w_s[s]
+    docc_s, drgb_s = [], []
+    for s in range(S):
+        has_s = rowc[:, o_has + s:o_has + s + 1] > 0.5
+        docc = da_s[s] * coef * a_s[s] * (1.0 - a_s[s])
+        docc_s.append(_canon(jnp.where(has_s, docc, 0.0)))
+        drgb_s.append(_canon(g_color * (w_s[s] / wsum)))
+    g_occ = jnp.concatenate(docc_s, 0)
+    g_rgb = jnp.concatenate(drgb_s, 0)                       # (S*bn, 3)
+
+    # rgb tail backward -> d_raw (+ d_aff)
+    if use_affine:
+        sg = rgb_all
+        g_lin = g_rgb * sg * (1.0 - sg)                      # (S*bn, 3)
+        raw_all = comp["raw_all"]
+        g_raw_cols = []
+        for c in range(3):
+            acc = jnp.zeros((S * bn, 1), jnp.float32)
+            for d in range(3):
+                acc = acc + g_lin[:, d:d + 1] \
+                    * jnp.concatenate([aff[:, 3 * c + d:3 * c + d + 1]] * S,
+                                      0)
+            g_raw_cols.append(acc)
+        g_raw = jnp.concatenate(g_raw_cols, 1)
+        # d_aff accumulated over samples, back in per-ray rows
+        daff_cols = []
+        for c in range(3):
+            for d in range(3):
+                acc = jnp.zeros((bn, 1), jnp.float32)
+                for s in range(S):
+                    acc = acc + (g_lin[s * bn:(s + 1) * bn, d:d + 1]
+                                 * raw_all[s * bn:(s + 1) * bn, c:c + 1])
+                daff_cols.append(acc)
+        for d in range(3):
+            acc = jnp.zeros((bn, 1), jnp.float32)
+            for s in range(S):
+                acc = acc + g_lin[s * bn:(s + 1) * bn, d:d + 1]
+            daff_cols.append(acc)
+        daff_ref[:] = jnp.concatenate(daff_cols, 1)
+    elif sigmoid_plain:
+        sg = rgb_all
+        g_raw = g_rgb * sg * (1.0 - sg)
+        daff_ref[:] = jnp.zeros_like(daff_ref)
+    else:
+        g_raw = g_rgb
+        daff_ref[:] = jnp.zeros_like(daff_ref)
+
+    d_eg, d_cg, _ = _trunk_bwd_block(g_occ, comp["eg"], comp["cg_all"],
+                                     gws, comp["saved_g"], n_blocks, skip,
+                                     _RELU, exact=exact)
+    d_ec, d_cc, _ = _trunk_bwd_block(g_raw, comp["ec"], comp["cc_all"],
+                                     cws, comp["saved_c"], n_blocks, skip,
+                                     _SOFTPLUS100, exact=exact)
+
+    # position cotangents: embeds route + weights route, per slice
+    Fg = comp["eg"].shape[1]
+    Fc2 = comp["ec"].shape[1]
+    Fc = Fc2 // 2
+    dro = jnp.zeros((bn, 3), jnp.float32)
+    drd = jnp.zeros((bn, 3), jnp.float32)
+    for s in range(S):
+        pts = comp["pts_s"][s]
+        z_s = rowc[:, o_z + s:o_z + s + 1]
+        has_s = rowc[:, o_has + s:o_has + s + 1] > 0.5
+        # embeds: eg = sin(2pi pts Bg); ec = [sin, cos](2pi pts Bc)
+        pg = jnp.dot(2.0 * math.pi * pts, Bg_ref[:],
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+        pc = jnp.dot(2.0 * math.pi * pts, Bc_ref[:],
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+        d_eg_s = d_eg[s * bn:(s + 1) * bn]
+        d_ec_s = d_ec[s * bn:(s + 1) * bn]
+        d_pg = d_eg_s * jnp.cos(pg)
+        d_pc = (d_ec_s[:, :Fc] * jnp.cos(pc)
+                - d_ec_s[:, Fc:] * jnp.sin(pc))
+        d_pts = (jnp.dot(d_pg, (2.0 * math.pi) * Bg_ref[:].T,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(d_pc, (2.0 * math.pi) * Bc_ref[:].T,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32))
+        # weights route: dacc -> d_wn -> d_w -> d_dd -> d_pts
+        dg_s = jnp.where(has_s, d_cg[s * bn:(s + 1) * bn], 0.0)
+        dc_s = jnp.where(has_s, d_cc[s * bn:(s + 1) * bn], 0.0)
+        wsafe = comp["wsum_s"][s]
+        wj_list = comp["wn_s"][s]
+        # d_wn_j = <dg, feat_g> + <dc, feat_c>;  wn_j = w_j / wsafe
+        dwn = []
+        for j in range(K):
+            fo = (s * K + j) * 2 * C
+            t1 = jnp.sum(dg_s * cfeat[:, fo:fo + C], 1, keepdims=True)
+            t2 = jnp.sum(dc_s * cfeat[:, fo + C:fo + 2 * C], 1,
+                         keepdims=True)
+            dwn.append(t1 + t2)
+        # quotient rule through wn = w / wsafe
+        inner = jnp.zeros((bn, 1), jnp.float32)
+        for j in range(K):
+            inner = inner + dwn[j] * wj_list[j]
+        inner = inner / (wsafe * wsafe)
+        for j in range(K):
+            off = o_cp + (s * K + j) * 3
+            cp = rowc[:, off:off + 3]
+            dif = cp - pts
+            dd = jnp.sum(dif * dif, axis=1, keepdims=True)
+            inr = dd <= r2
+            dw_j = dwn[j] / wsafe - inner
+            if wmode == 0:
+                ddd = -dw_j * wj_list[j] * wj_list[j]
+            else:
+                sq = jnp.sqrt(jnp.maximum(dd, 1e-12))
+                ddd = dw_j * wj_list[j] * (-10.0 / sq)
+            ddd = jnp.where(inr, ddd, 0.0)
+            d_pts = d_pts + ddd * 2.0 * (pts - cp)
+        dro = dro + d_pts
+        drd = drd + z_s * d_pts
+    drays_ref[:] = jnp.concatenate([dro, drd], 1)
+
+
+def _trackloss_specs(Dr, K, S, C, bn, Bg, Bc, w2):
+    def rrow(width):
+        return pl.BlockSpec((bn, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full_spec(a):
+        return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [rrow(6), rrow(Dr), rrow(S * K * 2 * C), rrow(12),
+                full_spec(Bg), full_spec(Bc)] \
+        + [full_spec(w) for w in w2]
+    return rrow, full_spec, in_specs
+
+
+def _track_bn(n_r: int, S: int, bwd: bool) -> int:
+    cap = max(8, (512 if bwd else 1024) // S)
+    cap = (cap // 8) * 8
+    return min(cap, -(-n_r // 8) * 8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_blocks", "skip", "S", "K", "C", "coef", "wmode", "use_affine",
+    "sigmoid_plain", "exact"))
+def _trackloss_fwd(rays, rowc, cfeat, aff, Bg, Bc, geo_flat, col_flat,
+                   n_blocks: int, skip: int, S: int, K: int, C: int,
+                   coef: float, wmode: int, use_affine: bool,
+                   sigmoid_plain: bool, exact: bool = False):
+    n_r = rays.shape[0]
+    bn = _track_bn(n_r, S, bwd=False)
+    nr_pad = -(-n_r // bn) * bn
+    raysp = _pad_rows(rays, nr_pad)
+    rowp = _pad_rows(rowc, nr_pad)
+    featp = _pad_rows(cfeat, nr_pad)
+    affp = _pad_rows(aff, nr_pad)
+    grid = (nr_pad // bn,)
+    w_all = list(geo_flat) + list(col_flat)
+    w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
+    rrow, full_spec, in_specs = _trackloss_specs(
+        rowc.shape[1], K, S, C, bn, Bg, Bc, w2)
+    kern = functools.partial(_trackloss_fwd_kernel, n_blocks, skip, S, K,
+                             C, coef, wmode, use_affine, sigmoid_plain,
+                             exact)
+    d, v, c = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=[rrow(1), rrow(1), rrow(3)],
+        out_shape=[jax.ShapeDtypeStruct((nr_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nr_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((nr_pad, 3), jnp.float32)],
+        interpret=_interpret(),
+    )(raysp, rowp, featp, affp, Bg, Bc, *w2)
+    return d[:n_r, 0], v[:n_r, 0], c[:n_r]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_blocks", "skip", "S", "K", "C", "coef", "wmode", "use_affine",
+    "sigmoid_plain", "exact"))
+def _trackloss_bwd_call(rays, rowc, cfeat, aff, Bg, Bc, geo_flat,
+                        col_flat, g_depth, g_color,
+                        n_blocks: int, skip: int, S: int, K: int, C: int,
+                        coef: float, wmode: int, use_affine: bool,
+                        sigmoid_plain: bool, exact: bool = False):
+    n_r = rays.shape[0]
+    bn = _track_bn(n_r, S, bwd=True)
+    nr_pad = -(-n_r // bn) * bn
+    raysp = _pad_rows(rays, nr_pad)
+    rowp = _pad_rows(rowc, nr_pad)
+    featp = _pad_rows(cfeat, nr_pad)
+    affp = _pad_rows(aff, nr_pad)
+    gdp = _pad_rows(g_depth[:, None], nr_pad)
+    gcp = _pad_rows(g_color, nr_pad)
+    grid = (nr_pad // bn,)
+    w_all = list(geo_flat) + list(col_flat)
+    w2 = [w if w.ndim == 2 else w.reshape(1, -1) for w in w_all]
+    rrow, full_spec, in_specs = _trackloss_specs(
+        rowc.shape[1], K, S, C, bn, Bg, Bc, w2)
+    in_specs = in_specs[:6] + [rrow(1), rrow(3)] + in_specs[6:]
+    kern = functools.partial(_trackloss_bwd_kernel, n_blocks, skip, S, K,
+                             C, coef, wmode, use_affine, sigmoid_plain,
+                             exact)
+    drays, daff = pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs,
+        out_specs=[rrow(6), rrow(12)],
+        out_shape=[jax.ShapeDtypeStruct((nr_pad, 6), jnp.float32),
+                   jax.ShapeDtypeStruct((nr_pad, 12), jnp.float32)],
+        interpret=_interpret(),
+    )(raysp, rowp, featp, affp, Bg, Bc, gdp, gcp, *w2)
+    return drays[:n_r], daff[:n_r]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12,
+                                                    13, 14, 15))
+def nicer_fused_trackloss(rays, aff, rowc, cfeat, geo_flat, col_flat, Bs,
+                          n_blocks: int, skip: int, S: int, K: int,
+                          C: int, coef: float, wmode: int,
+                          use_affine: bool, sigmoid_plain: bool = False):
+    """Fused tracker render: (depth (n,), var (n,), color (n, 3)).
+
+    Differentiable in ``rays`` (n, 6 = [o|d]) and ``aff`` (n, 12); the
+    per-stage cache rows, neighbour features, decoder weights and Fourier
+    Bs are constants (features are frozen during tracking).  ``var``
+    carries no gradient (tracker stop-gradients uncertainty).
+    Semantics: interpolate.interp_weights(diff_pos=True) + NICER trunks +
+    per-sample exposure affine (decoder.py:383-390) + raw2outputs."""
+    Bg, Bc = Bs
+    return _trackloss_fwd(rays, rowc, cfeat, aff, Bg, Bc,
+                          tuple(geo_flat), tuple(col_flat),
+                          n_blocks, skip, S, K, C, coef, wmode,
+                          use_affine, sigmoid_plain)
+
+
+def _ntl_fwd(rays, aff, rowc, cfeat, geo_flat, col_flat, Bs,
+             n_blocks, skip, S, K, C, coef, wmode, use_affine,
+             sigmoid_plain=False):
+    out = nicer_fused_trackloss(rays, aff, rowc, cfeat, geo_flat,
+                                col_flat, Bs, n_blocks, skip, S, K, C,
+                                coef, wmode, use_affine, sigmoid_plain)
+    return out, (rays, aff, rowc, cfeat, geo_flat, col_flat, Bs)
+
+
+def _ntl_bwd(n_blocks, skip, S, K, C, coef, wmode, use_affine,
+             sigmoid_plain, res, g):
+    (rays, aff, rowc, cfeat, geo_flat, col_flat, (Bg, Bc)) = res
+    g_depth, _g_var, g_color = g
+    drays, daff = _trackloss_bwd_call(
+        rays, rowc, cfeat, aff, Bg, Bc, tuple(geo_flat),
+        tuple(col_flat), g_depth, g_color,
+        n_blocks, skip, S, K, C, coef, wmode, use_affine, sigmoid_plain)
+    return (drays, daff, jnp.zeros_like(rowc), jnp.zeros_like(cfeat),
+            jax.tree.map(jnp.zeros_like, geo_flat),
+            jax.tree.map(jnp.zeros_like, col_flat),
+            (jnp.zeros_like(Bg), jnp.zeros_like(Bc)))
+
+
+nicer_fused_trackloss.defvjp(_ntl_fwd, _ntl_bwd)

@@ -36,7 +36,7 @@ from .renderer import RenderConfig, render_rays
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
                      "resample_stages", "ray_cand_k", "knn_probe",
-                     "union_u", "mesh", "pool_factor"))
+                     "union_u", "mesh", "pool_factor", "fused_track"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -50,7 +50,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 w_color: float, use_color: bool, handle_dynamic: bool,
                 resample_stages: int = 1, ray_cand_k: int = 0,
                 knn_probe: int = 16, union_u: int = 0, mesh=None,
-                pool_factor: int = 1):
+                pool_factor: int = 1, fused_track: bool = False):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -73,6 +73,15 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     while the per-iteration cost grows only by ~6 small row-gathers.
     """
     from .parallel.mesh import shard_batch
+    if fused_track:
+        # fused tracker iteration (ops/fused_mlp.nicer_fused_trackloss):
+        # v1 covers the production single-chip configuration
+        assert union_u <= 0 and ray_cand_k <= 0 and pool_factor <= 1 \
+            and mesh is None, "fused_track: plain direct-cache path only"
+        assert not (mcfg.use_view_direction or mcfg.use_normals
+                    or mcfg.encode_rel_pos_in_col
+                    or mcfg.encode_rel_pos_in_geo), \
+            "fused_track: baseline decoder variants only"
     # --- optimizable pytree (the reference's param groups, Tracker.py:383-415)
     if separate_lr:
         opt_params = {"quad": cam_init[:4], "T": cam_init[4:]}
@@ -212,7 +221,40 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         # is pure per-iteration overhead).  pool_factor > 1 uses the pool's
         # statistics (superset of each iteration's draw).
         inside = d_gt <= inside_thresh
-        if union_u > 0:
+        if fused_track:
+            # whole-iteration fused render (ops/fused_mlp): trunks +
+            # in-kernel differentiable interpolation weights + per-sample
+            # exposure + compositor in one kernel pair; only the ray
+            # build, the (tiny) loss statistics and Adam stay in XLA
+            from .ops import fused_mlp as FM
+            lv = stage.split("_")[1]
+            gd, cd = pr[f"geo_{lv}"], pr[f"col_{lv}"]
+            rowc, cfs = knn_cache
+            n = rowc.shape[0]
+            rays6 = jnp.concatenate([rays_o, rays_d], 1)
+            use_aff = bool(mcfg.encode_exposure) and expo is not None
+            if use_aff:
+                rot, trans = Dec.exposure_affine(cd, expo)
+                aff = jnp.broadcast_to(
+                    jnp.concatenate([rot.reshape(9), trans])[None],
+                    (n, 12))
+            else:
+                aff = jnp.zeros((n, 12), jnp.float32)
+            depth, unc, color = FM.nicer_fused_trackloss(
+                rays6, aff, rowc, cfs,
+                tuple(FM.flatten_core(gd["core"])),
+                tuple(FM.flatten_core(cd["core"])),
+                (gd["B"], cd["B"]), mcfg.n_blocks, mcfg.skip,
+                rcfg.N_surface, rcfg.nn_num, mcfg.c_dim,
+                float(rcfg.sigmoid_coef),
+                0 if mcfg.weighting == "distance" else 1,
+                use_aff, not mcfg.encode_exposure)
+            nzb = d_gt > 0
+            if not rcfg.sample_near_pcl:
+                depth = jnp.where(nzb, depth, 0.0)
+            if rcfg.skip_zero_depth_pixel:
+                color = jnp.where(nzb[:, None], color, 0.0)
+        elif union_u > 0:
             depth, unc, color, _ = render_union_track(
                 pr, stage, rays_o, rays_d, d_gt, rq, knn_cache, expo)
         else:
@@ -355,6 +397,30 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         else:
             D, I = Knn.knn_ray(rays_o, rays_d, z, *tile_index,
                                k=rcfg.nn_num, kc=ray_cand_k)
+        if fused_track:
+            # per-stage cache rows for the fused tracker kernel: frozen
+            # neighbour positions + features gathered ONCE (the XLA path
+            # re-gathers features every iteration), validity from the
+            # FROZEN search distances (interp_weights semantics), padded
+            # slots remapped to a 1e6 sentinel position (zero weight).
+            n = i.shape[0]
+            kk = rcfg.nn_num
+            cap = cloud_pos.shape[0]
+            I2 = jnp.where(D >= Knn.BIG, cap, I)
+            safe_ids = jnp.minimum(I2, cap - 1)
+            valid = (I2 < cap)[..., None]
+            cpos = jnp.where(valid, cloud_pos[safe_ids], 1e6)
+            cfs = jnp.where(valid, cat_feats[safe_ids]
+                            .astype(jnp.float32), 0.0)
+            rq = inputs[4]
+            r2 = (rq * rq)[:, None]
+            nn = jnp.sum(D.reshape(n, n_surface, kk) < r2[..., None], -1)
+            has = (nn > (mcfg.min_nn_num - 1)).astype(jnp.float32)
+            nz = (d_gt > 0).astype(jnp.float32)[:, None]
+            rowc = jnp.concatenate(
+                [z, d_gt[:, None], _c, r2, has, nz,
+                 cpos.reshape(n, n_surface * kk * 3)], 1)
+            return rowc, cfs.reshape(n, n_surface * kk * 2 * mcfg.c_dim)
         if union_u <= 0:
             return D, I
         # per-ray union + one-off gathers of FROZEN positions/features
@@ -491,7 +557,13 @@ class Tracker:
         # iteration, measured 3.1 vs 1.8 ms/iter at the ScanNet operating
         # point.  Kept as a knob for configs with larger k.
         self.union_u = int(t.get("union_size", 0))
+        # fused tracker iteration kernel ('auto' -> on-TPU only; the
+        # Pallas kernels interpret off-TPU).  Falls back to the XLA path
+        # whenever an unsupported variant knob is active (see
+        # track_frame's fused_track asserts).
+        self.fused_loss = Dec._resolve_fused(t.get("fused_loss", "auto"))
         self.gt_camera = t["gt_camera"]
+        self._fused_guard_logged = False
         self.depth_limit = 5.0 if t["depth_limit"] else None
         self.ratio_iter_mid = 0.5  # Tracker.py:40
         self.use_exposure = cfg["model"]["encode_exposure"]
@@ -499,6 +571,23 @@ class Tracker:
         self.radius_query_ratio = cfg["pointcloud"]["radius_query_ratio"]
         self.color_grad_threshold = cfg["pointcloud"]["color_grad_threshold"]
         self.rcfg = RenderConfig.from_cfg(cfg, "sigmoid_coef_tracker")
+
+    def _fused_ok(self, slam) -> bool:
+        """fused_track only covers the production configuration; any
+        variant knob falls back to the XLA path silently (once-logged)."""
+        m = slam.mcfg
+        ok = (self.fused_loss and self.union_u <= 0
+              and self.ray_cand_k <= 0 and self.pool_factor <= 1
+              and getattr(slam, "mesh", None) is None
+              and not (m.use_view_direction or m.use_normals
+                       or m.encode_rel_pos_in_col
+                       or m.encode_rel_pos_in_geo))
+        if self.fused_loss and not ok and not self._fused_guard_logged:
+            self._fused_guard_logged = True
+            if self.cfg.get("verbose"):
+                print("tracking.fused_loss: unsupported variant knob "
+                      "active; using the XLA tracker path")
+        return ok
 
     def prepare_radii(self, color: np.ndarray):
         """Per-frame dynamic radius maps (Tracker.py:297-325)."""
@@ -581,7 +670,8 @@ class Tracker:
             resample_stages=self.resample_stages,
             ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe,
             union_u=self.union_u, mesh=getattr(slam, "mesh", None),
-            pool_factor=self.pool_factor)
+            pool_factor=self.pool_factor,
+            fused_track=self._fused_ok(slam))
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

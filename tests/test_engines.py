@@ -646,3 +646,52 @@ def test_map_scan_dec_flat_matches_tree(rng):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6),
         d_tree, d_flat)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("expo", [False, True], ids=["plain", "exposure"])
+def test_track_frame_fused_matches_reference_path(rng, expo):
+    """fused_track (ops/fused_mlp.nicer_fused_trackloss) must track the
+    XLA direct-cache path: same weights math (in-kernel diff_pos
+    interpolation), same compositor, same exposure tail — loss and pose
+    trajectories agree to float tolerance."""
+    import dataclasses as dc
+    mcfg = small_cfg()
+    if expo:
+        mcfg = dc.replace(mcfg, encode_exposure=True)
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = wall_level(rng)
+    H, W = 24, 32
+    fx = fy = 20.0
+    cx, cy = 15.5, 11.5
+    jj, ii = np.mgrid[0:H, 0:W]
+    dirs0 = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                      -np.ones_like(ii, float)], -1)
+    depth_img = (2.0 / -dirs0[..., 2]).astype(np.float32)
+    color_img = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
+    rqm = np.full((H, W), 0.4, np.float32)
+    pool = np.arange(H * W, dtype=np.int32)
+    cam_init = np.array([1, 0, 0, 0, 0.04, -0.02, 0.03], np.float32)
+    idx = KK.build_tiles(pos, count)
+
+    def run(fused):
+        best_cam, best_loss, losses, _ = track_frame(
+            params, mcfg, rcfg, jnp.asarray(cam_init),
+            jax.random.PRNGKey(2),
+            jnp.asarray(color_img), jnp.asarray(depth_img),
+            jnp.asarray(rqm), jnp.asarray(rqm),
+            jnp.asarray(pool), jnp.int32(pool.size),
+            pos, count, geo, col, idx,
+            pos, count, geo, col, idx,
+            jnp.zeros(8),
+            pixels=200, iters_mid=2, iters_fine=2, W=W,
+            fx=fx, fy=fy, cx=cx, cy=cy, cam_lr=0.01, separate_lr=False,
+            use_exposure=expo, w_color=0.5, use_color=True,
+            handle_dynamic=True, fused_track=fused)
+        return np.asarray(best_cam), np.asarray(losses)
+
+    cam_ref, loss_ref = run(False)
+    cam_fus, loss_fus = run(True)
+    np.testing.assert_allclose(loss_fus, loss_ref, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(cam_fus, cam_ref, rtol=2e-3, atol=2e-4)
