@@ -1490,8 +1490,9 @@ def _trackloss_common(n_blocks, skip, S, K, C, coef, wmode, use_affine,
         for j in range(K):
             wn = wj_list[j] / wsafe
             fo = (s * K + j) * 2 * C
-            accg = accg + wn * cfeat[:, fo:fo + C]
-            accc = accc + wn * cfeat[:, fo + C:fo + 2 * C]
+            accg = accg + wn * cfeat[:, fo:fo + C].astype(jnp.float32)
+            accc = accc + wn * cfeat[:, fo + C:fo + 2 * C].astype(
+                jnp.float32)
         has_s = rowc[:, o_has + s:o_has + s + 1] > 0.5
         cg_s.append(_canon(jnp.where(has_s, accg, 0.0)))
         cc_s.append(_canon(jnp.where(has_s, accc, 0.0)))
@@ -1693,9 +1694,10 @@ def _trackloss_bwd_kernel(n_blocks, skip, S, K, C, coef, wmode,
         dwn = []
         for j in range(K):
             fo = (s * K + j) * 2 * C
-            t1 = jnp.sum(dg_s * cfeat[:, fo:fo + C], 1, keepdims=True)
-            t2 = jnp.sum(dc_s * cfeat[:, fo + C:fo + 2 * C], 1,
-                         keepdims=True)
+            t1 = jnp.sum(dg_s * cfeat[:, fo:fo + C].astype(jnp.float32),
+                         1, keepdims=True)
+            t2 = jnp.sum(dc_s * cfeat[:, fo + C:fo + 2 * C].astype(
+                jnp.float32), 1, keepdims=True)
             dwn.append(t1 + t2)
         # quotient rule through wn = w / wsafe
         inner = jnp.zeros((bn, 1), jnp.float32)

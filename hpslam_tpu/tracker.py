@@ -410,8 +410,11 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             safe_ids = jnp.minimum(I2, cap - 1)
             valid = (I2 < cap)[..., None]
             cpos = jnp.where(valid, cloud_pos[safe_ids], 1e6)
-            cfs = jnp.where(valid, cat_feats[safe_ids]
-                            .astype(jnp.float32), 0.0)
+            # keep cat_feats' dtype (bf16 under mm_bf16 — same lossless
+            # frozen-feature cast as the XLA path; halves the kernel's
+            # per-iteration feature stream)
+            cfs = jnp.where(valid, cat_feats[safe_ids],
+                            jnp.zeros((), cat_feats.dtype))
             rq = inputs[4]
             r2 = (rq * rq)[:, None]
             nn = jnp.sum(D.reshape(n, n_surface, kk) < r2[..., None], -1)

@@ -649,8 +649,10 @@ def test_map_scan_dec_flat_matches_tree(rng):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("expo", [False, True], ids=["plain", "exposure"])
-def test_track_frame_fused_matches_reference_path(rng, expo):
+@pytest.mark.parametrize("expo,bf16", [(False, False), (True, False),
+                                       (False, True)],
+                         ids=["plain", "exposure", "bf16"])
+def test_track_frame_fused_matches_reference_path(rng, expo, bf16):
     """fused_track (ops/fused_mlp.nicer_fused_trackloss) must track the
     XLA direct-cache path: same weights math (in-kernel diff_pos
     interpolation), same compositor, same exposure tail — loss and pose
@@ -659,6 +661,8 @@ def test_track_frame_fused_matches_reference_path(rng, expo):
     mcfg = small_cfg()
     if expo:
         mcfg = dc.replace(mcfg, encode_exposure=True)
+    if bf16:
+        mcfg = dc.replace(mcfg, mm_bf16=True)
     rcfg = R.RenderConfig(sample_near_pcl=False)
     params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
     pos, count, geo, col = wall_level(rng)
@@ -693,5 +697,8 @@ def test_track_frame_fused_matches_reference_path(rng, expo):
 
     cam_ref, loss_ref = run(False)
     cam_fus, loss_fus = run(True)
-    np.testing.assert_allclose(loss_fus, loss_ref, rtol=2e-3, atol=2e-3)
-    np.testing.assert_allclose(cam_fus, cam_ref, rtol=2e-3, atol=2e-4)
+    # bf16 features/matmuls accumulate in different orders in the kernel
+    # vs XLA; the trajectories diverge at rounding scale through Adam
+    rt, at = (1e-2, 1e-2) if bf16 else (2e-3, 2e-3)
+    np.testing.assert_allclose(loss_fus, loss_ref, rtol=rt, atol=at)
+    np.testing.assert_allclose(cam_fus, cam_ref, rtol=rt, atol=at / 10)
