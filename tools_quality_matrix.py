@@ -9,13 +9,32 @@ appends a table to QUALITY.md.  The loop-closing variant
 trajectories do (reference anchor: src/Mapper.py:1080-1148, ScanNet
 defaults exposure+end_correction ON — configs/ScanNet/scannet.yaml).
 
-Usage: python tools_quality_matrix.py [variant ...]
+Usage: python tools_quality_matrix.py [--tiny] [--frames N] [variant ...]
+
+--tiny shrinks budgets to the CI-gate scale (tests/test_e2e.tiny_cfg) so
+the matrix runs on CPU — directional evidence only; re-run at full scale
+on TPU for the QUALITY.md table.
 """
 import json
 import sys
 import time
 
 import numpy as np
+
+
+def shrink_tiny(cfg, n_frames=20):
+    cfg["synthetic"]["n_frames"] = n_frames
+    cfg["cam"].update(H=48, W=64, fx=40.0, fy=40.0, cx=31.5, cy=23.5)
+    cfg["tracking"].update(pixels=200, iters=8, vis_freq=999,
+                           vis_inside_freq=999)
+    cfg["mapping"].update(pixels=400, pixels_adding=600, iters=12,
+                          iters_first=14, geo_iter_first=6,
+                          mapping_window_size=4, vis_freq=999,
+                          vis_inside_freq=999, color_refine=False,
+                          no_vis_on_first_frame=True, ckpt_freq=2000,
+                          pixels_knn_cache=512)
+    cfg["pointcloud"]["initial_capacity"] = 8192
+    return cfg
 
 
 def deep_set(cfg, dotted, value):
@@ -41,16 +60,31 @@ VARIANTS = [
 
 
 def main():
+    import os
+    if (os.environ.get("JAX_PLATFORMS") == "cpu"
+            or "--cpu" in sys.argv):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from hpslam_tpu import config as C
     from hpslam_tpu.slam import PointSLAM
 
-    only = sys.argv[1:] or None
+    args = sys.argv[1:]
+    tiny = "--tiny" in args
+    frames = 20
+    if "--frames" in args:
+        fi = args.index("--frames")
+        frames = int(args[fi + 1])
+        del args[fi:fi + 2]
+    only = [a for a in args if not a.startswith("--")] or None
     rows = []
     for name, base, ov in VARIANTS:
         if only and name not in only:
             continue
         print(f"=== {name}", flush=True)
         cfg = C.load_config(base)
+        if tiny:
+            cfg = shrink_tiny(cfg, n_frames=frames)
+            name = name + "_tiny"
         deep_set(cfg, "data.output", f"output/quality_matrix/{name}")
         deep_set(cfg, "verbose", False)
         for k, v in ov.items():
