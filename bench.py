@@ -86,9 +86,11 @@ def main():
                                    pack_union_cache)
 
     rng = np.random.default_rng(1219)
+    # ScanNet model cfg; fused trunks + whole-iteration fused mapping
+    # objective (product 'auto' defaults on TPU)
     mcfg = Dec.ModelConfig(encode_exposure=True,
                            encode_rel_pos_in_col=False,
-                           fused_mlp=True)  # ScanNet model cfg, fused trunks
+                           fused_mlp=True, fused_composite=True)
     rcfg = RenderConfig(near_end_surface=0.96, far_end_surface=1.04,
                         sample_near_pcl=False)
     params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)

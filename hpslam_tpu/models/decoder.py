@@ -105,7 +105,8 @@ class ModelConfig:
             c_dim=m["c_dim"],
             mm_bf16=m.get("mm_bf16", False),
             fused_mlp=_resolve_fused(m.get("fused_mlp", "auto")),
-            fused_composite=bool(m.get("fused_composite", False)),
+            fused_composite=_resolve_fused(
+                m.get("fused_composite", "auto")),
             exposure_dim=m["exposure_dim"],
             min_nn_num=pc["min_nn_num"],
             nn_num=pc["nn_num"],
