@@ -585,8 +585,10 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     # trunks + compositor + exposure + masked L1 losses + union-mix
     # backward in ONE kernel pair — per-iteration XLA shrinks to the two
     # row gathers, the feature scatter-add, the affine table and Adam
+    # (mesh: GSPMD cannot partition the Pallas custom-call — the sharded
+    # path keeps the XLA iteration, whose ops GSPMD splits over dp)
     use_fused_loss = (use_union and mcfg.fused_composite
-                      and Dec.fused_usable(mcfg))
+                      and Dec.fused_usable(mcfg) and mesh is None)
 
     def exposure_sel(op, fid, dtype=jnp.float32):
         """Per-ray exposure affine rows via one-hot matmul (see below)."""

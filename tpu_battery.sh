@@ -36,6 +36,13 @@ for attempt in $(seq 1 200); do
   run_step prof_color 900 python -u tools_profile_map.py "=color u8 comp" || continue
   run_step prof_geo 900 python -u tools_profile_map.py "=geometry u8 comp" || continue
   run_step scatter 600 python -u tools_profile_scatter.py || continue
+  run_step bench 2400 python -u bench.py || continue
+  run_step ablate_ref 3600 python -u tools_ablate.py ref_semantics || continue
+  run_step qm_base 1800 python -u tools_quality_matrix.py noisy_base || continue
+  run_step qm_noexpo 1800 python -u tools_quality_matrix.py noisy_no_exposure || continue
+  run_step qm_ba 1800 python -u tools_quality_matrix.py noisy_ba || continue
+  run_step qm_loop 1800 python -u tools_quality_matrix.py loop_endcorr || continue
+  run_step qm_noloop 1800 python -u tools_quality_matrix.py loop_no_endcorr || continue
   echo "[battery] ALL DONE" >> /tmp/battery/driver.log
   break
 done
