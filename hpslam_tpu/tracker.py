@@ -563,8 +563,10 @@ class Tracker:
         # fused tracker iteration kernel ('auto' -> on-TPU only; the
         # Pallas kernels interpret off-TPU).  Falls back to the XLA path
         # whenever an unsupported variant knob is active (see
-        # track_frame's fused_track asserts).
-        self.fused_loss = Dec._resolve_fused(t.get("fused_loss", "auto"))
+        # track_frame's fused_track asserts).  Default OFF until the
+        # kernel has a recorded TPU compile check (tunnel flaked before
+        # the smoke could land this session).
+        self.fused_loss = Dec._resolve_fused(t.get("fused_loss", False))
         self.gt_camera = t["gt_camera"]
         self._fused_guard_logged = False
         self.depth_limit = 5.0 if t["depth_limit"] else None
