@@ -18,19 +18,24 @@ Architecture mirrored (reference src/conv_onet/models/decoder.py:108-342,
     -> +fc_c(c)] with skip concat -> linear -> raw rgb (sigmoid/exposure
     applied by the caller).
 
-Measured next levers (round-3 traces, one TPU v5e chip, ScanNet op
-point, ~4.6 ms/iteration):
-  * ~1.1 ms/iter of inter-op scheduling latency remains — the next
-    structural win is folding the per-ray compositor + losses (and their
-    backward) into these kernels so one fwd + one bwd kernel cover the
-    whole iteration except gather/scatter/Adam.  A full mega-kernel
-    (feature table resident in VMEM) is blocked: Mosaic has no
-    vectorized int-array indexing ("Cannot do int indexing on TPU").
-  * the backward's in-kernel forward recompute costs ~0.4 ms; saving
-    bf16 pre-activations from the forward trades ~0.2 ms of HBM for it
-    (net ~+0.2 ms/iter — marginal, unimplemented).
+Round-2 status of the levers measured in the round-3 traces (one TPU
+v5e chip, ScanNet op point):
+  * DONE: the mapping iteration's compositor + losses + their backward
+    are folded into one COMBINED loss+grad kernel per iteration
+    (nicer_fused_maploss below) — colour 4.18 -> 3.89 ms/iter, geometry
+    3.30 -> 2.65.  Two designs that did NOT work first: padding union
+    feature rows to 128-lane slots (4x HBM on the dominant input — made
+    the fused path slower) and a separate fwd kernel under custom_vjp
+    (the bwd recomputes the forward anyway; merging them removed a
+    0.73 ms launch).  A full mega-kernel with the feature table resident
+    in VMEM stays blocked: Mosaic has no vectorized int-array indexing.
+  * DONE (tracker): nicer_fused_trackloss runs the pose-differentiable
+    render (weights in-kernel) as one kernel pair per iteration.
   * the union-cache scatter-add (0.75 ms, 80k rows) is row-serial on
-    TPU; no cheaper formulation found (sort+cumsum costs more).
+    TPU; no cheaper formulation found so far (sort+cumsum costs more;
+    tools_profile_scatter.py benchmarks the sorted segment-sum
+    alternatives).  Geometry stages now move half the bytes (geo-only
+    feature width).
 
 Gradients produced: d(positions), d(c_geo), d(c_col), d(colour core
 weights).  The geometry core and both Fourier B matrices are treated as
