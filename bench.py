@@ -110,7 +110,8 @@ def main():
         iters_fine=TRACK_ITERS - TRACK_ITERS // 2, W=W,
         fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
         use_exposure=True, w_color=0.5, use_color=True, handle_dynamic=True,
-        resample_stages=4, knn_probe=12)  # product default (ABLATIONS.md)
+        resample_stages=4, knn_probe=12,  # product default (ABLATIONS.md)
+        fused_track=os.environ.get("HPSLAM_BENCH_FUSED_TRACK", "0") == "1")
 
     # tile indexes are built once per mapping frame in the product
     # (NeuralPointCloud.index); here positions are static
