@@ -225,9 +225,17 @@ def main():
     indexes["fine"] = jax.block_until_ready(K.build_tiles(fine[0], fine[1]))
     index_ms = (time.perf_counter() - t0) * 1e3
 
-    # warmup / compile
+    # warmup / compile.  The fused mapping objective is the product
+    # default; if its compile regresses on a new runtime, fall back to
+    # the fused-trunks-only path rather than losing the benchmark run.
     run_track(keys[0])
-    run_map(keys[1])
+    try:
+        run_map(keys[1])
+    except Exception as e:  # noqa: BLE001 — any compile/runtime error
+        print(f"# fused_composite map warmup failed ({type(e).__name__}); "
+              "falling back to fused trunks only", file=sys.stderr)
+        mcfg = dataclasses.replace(mcfg, fused_composite=False)
+        run_map(keys[1])
 
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.perf_counter()
