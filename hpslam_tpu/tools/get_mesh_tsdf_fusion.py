@@ -10,6 +10,14 @@ get_mesh_tsdf_fusion.py:231-266).
 Unlike the reference (which reloads per-frame dynamic-radius tensors from
 disk), the query-radius maps are recomputed from each frame's colour image —
 they are a deterministic function of it (Tracker.py:297-325).
+
+Deliberate parity delta: the reference integrates a constant "compensate
+vector" (+0.0 / +0.01165 / +0.0125 m on x/y/z) into every camera centre
+before fusing (get_mesh_tsdf_fusion.py:269-280) — an empirical patch for a
+fixed translation bias Open3D's ScalableTSDFVolume introduced against their
+culled GT meshes.  The first-party TSDF volume has no such bias (its
+world->voxel mapping is exact; see native/hpslam_native.cpp TSDF tests), so
+the compensation is intentionally omitted rather than ported.
 """
 from __future__ import annotations
 
