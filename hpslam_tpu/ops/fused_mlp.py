@@ -29,8 +29,12 @@ v5e chip, ScanNet op point):
     (the bwd recomputes the forward anyway; merging them removed a
     0.73 ms launch).  A full mega-kernel with the feature table resident
     in VMEM stays blocked: Mosaic has no vectorized int-array indexing.
-  * DONE (tracker): nicer_fused_trackloss runs the pose-differentiable
-    render (weights in-kernel) as one kernel pair per iteration.
+  * DONE but NOT DEFAULT (tracker): nicer_fused_trackloss runs the
+    pose-differentiable render (weights in-kernel) as one kernel pair
+    per iteration.  TPU measurement came back NEGATIVE: bench.py
+    track_ms 452 fused vs 354 unfused (v5e, 2026-08-18) — the tracker
+    iteration is small enough that XLA's own fusion wins; the kernel
+    stays available behind tracking.fused_loss.
   * the union-cache scatter-add (0.75 ms, 80k rows) is row-serial on
     TPU; no cheaper formulation found so far (sort+cumsum costs more;
     tools_profile_scatter.py benchmarks the sorted segment-sum

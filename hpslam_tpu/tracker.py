@@ -563,9 +563,12 @@ class Tracker:
         # fused tracker iteration kernel ('auto' -> on-TPU only; the
         # Pallas kernels interpret off-TPU).  Falls back to the XLA path
         # whenever an unsupported variant knob is active (see
-        # track_frame's fused_track asserts).  Default OFF until the
-        # kernel has a recorded TPU compile check (tunnel flaked before
-        # the smoke could land this session).
+        # track_frame's fused_track asserts).  Default OFF — MEASURED
+        # NEGATIVE on TPU v5e at the ScanNet operating point: bench.py
+        # track_ms 452 fused vs 354 unfused (2026-08-18).  XLA's own
+        # fusion of the tracker iteration beats the hand kernel here
+        # (unlike the mapper, whose iteration was op-count-bound); kept
+        # as a knob + CPU-equivalence-tested for future operating points.
         self.fused_loss = Dec._resolve_fused(t.get("fused_loss", False))
         self.gt_camera = t["gt_camera"]
         self._fused_guard_logged = False
