@@ -3,11 +3,27 @@
 The reference registers the trajectory-tail input cloud against the earlier
 map with Open3D FPFH+RANSAC global registration followed by point-to-plane
 ICP (common.py:534-593), then applies an exponentially decayed translation
-correction to the last 800 poses.  Same two-stage flow here on the
-first-party native library: FPFH + RANSAC (native fpfh_ransac_register)
-provides the global initialisation — covering the large-drift case this
-tool exists for — and point-to-plane ICP refines it, with the same
-acceptance gate (fitness > 0.5) and the same decay schedule.
+correction to the last 800 poses with index_interval=1000.  Same two-stage
+flow here on the first-party native library, with two measured deviations:
+
+* ICP refines coarse-to-fine (correspondence distance annealed from 0.5 m
+  down to the voxel size) instead of one fixed-radius pass.  The tail cloud
+  of a drifted run is *smeared* (drift accumulates across the tail frames),
+  which starves fixed-radius ICP of correspondences and makes planar-wall
+  FPFH features degenerate; the annealed schedule recovers a 1.5 m drift on
+  the loop fixture where the single-radius reference recipe stalls at ~40%
+  of it (see QUALITY.md, loop rows).
+* The decay schedule is proportional to sequence length: the last
+  ``0.4*n_img`` poses with interval ``0.5*n_img``.  At the reference's
+  ~2000-frame ScanNet operating scale this reproduces its hardcoded
+  800/1000 exactly; on shorter runs the hardcoded constants degenerate to
+  a near-uniform shift that Horn alignment removes (measured: 39.5 ->
+  37.7 cm with 800/1000 vs 39.5 -> 21.8 cm proportional on the 60-frame
+  loop fixture).
+
+Gates (reference values by default, overridable per dataset):
+``mapping.end_corr_min_pts`` (50 000 input points — Mapper.py:1093) and
+``mapping.end_corr_min_fitness`` (0.5 — Mapper.py:1104).
 """
 from __future__ import annotations
 
@@ -21,7 +37,7 @@ def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
 
 
 def register_tail(cloud: np.ndarray, cam_pos: np.ndarray,
-                  voxel_size: float = 0.04):
+                  voxel_size: float = 0.04, min_pts: int = 50_000):
     """Align the trajectory-tail cloud onto the earlier map.
 
     Returns (T 4x4, fitness) or (None, 0).
@@ -30,7 +46,7 @@ def register_tail(cloud: np.ndarray, cam_pos: np.ndarray,
                           icp_point_to_plane)
 
     n = cloud.shape[0]
-    if n <= 50_000:
+    if n <= min_pts:
         return None, 0.0
     target = voxel_downsample(cloud[: int(n * 0.6)], voxel_size)
     normals = estimate_normals(target, k=30, viewpoint=cam_pos.astype(np.float32))
@@ -52,9 +68,12 @@ def register_tail(cloud: np.ndarray, cam_pos: np.ndarray,
         if fit_global > 0.3:
             inits.insert(0, T_global)
         for T0 in inits:
-            T, fit, rmse = icp_point_to_plane(
-                source, target, normals, max_corr_dist=voxel_size,
-                max_iter=500, init=np.asarray(T0, np.float32))
+            # coarse-to-fine point-to-plane ICP (see module docstring)
+            T = np.asarray(T0, np.float32)
+            for d in (0.5, 0.25, 0.12, 0.06, voxel_size):
+                T, fit, rmse = icp_point_to_plane(
+                    source, target, normals, max_corr_dist=max(d, voxel_size),
+                    max_iter=200, init=T)
             if fit > best_fit or (fit == best_fit and rmse < best_rmse):
                 best_T, best_fit, best_rmse = T, fit, rmse
     return best_T, best_fit
@@ -62,14 +81,17 @@ def register_tail(cloud: np.ndarray, cam_pos: np.ndarray,
 
 def apply_end_correction(slam) -> bool:
     """Mutates slam.estimate_c2w_list in place; returns True if applied."""
+    mcfg = slam.cfg["mapping"]
+    min_pts = int(mcfg.get("end_corr_min_pts", 50_000))
+    min_fitness = float(mcfg.get("end_corr_min_fitness", 0.5))
     cloud = np.asarray(slam.npc.input_pos(), np.float32)
     idx = slam.n_img - 1
     cur_c2w = slam.estimate_c2w_list[idx].copy()
-    if cloud.shape[0] <= 50_000:
+    if cloud.shape[0] <= min_pts:
         print(f"npc_pts_num: {cloud.shape[0]}; end correction rejected.")
         return False
-    T, fitness = register_tail(cloud, cur_c2w[:3, 3])
-    if T is None or fitness <= 0.5:
+    T, fitness = register_tail(cloud, cur_c2w[:3, 3], min_pts=min_pts)
+    if T is None or fitness <= min_fitness:
         print(f"result_fitness: {fitness}; end correction rejected.")
         return False
     print("correction transformation:\n", T)
@@ -77,9 +99,12 @@ def apply_end_correction(slam) -> bool:
     translation = new_c2w[:3, 3] - cur_c2w[:3, 3]
     print("end translation correction:", translation)
     slam.estimate_c2w_list[idx] = new_c2w
-    index_interval = 1000.0
+    # proportional decay window: equals the reference's last-800 /
+    # interval-1000 at its ~2000-frame scale (see module docstring)
+    window = max(1, int(round(0.4 * slam.n_img)))
+    index_interval = 0.5 * slam.n_img
     for i in range(idx):
-        if i >= idx - 800:
+        if i >= idx - window:
             decay = np.exp(-abs(i - idx) / index_interval)
             slam.estimate_c2w_list[i][:3, 3] += translation * decay
     return True

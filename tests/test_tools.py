@@ -91,6 +91,58 @@ def test_end_correction_decay(rng):
     assert ds.shape[0] > 50
 
 
+def test_apply_end_correction_recovers_rigid_tail_drift(rng):
+    """A rigidly displaced trajectory tail must be registered back onto the
+    earlier map and the decayed translation applied to the pose list
+    (reference Mapper.py:1080-1148; gates overridden to fixture scale)."""
+    from hpslam_tpu.tools.end_correction import apply_end_correction
+
+    # box-room walls: enough corner/edge structure for registration
+    pts = []
+    for axis in range(3):
+        for side in (0.0, 1.0):
+            p = rng.uniform(0, 1, (3000, 3))
+            p[:, axis] = side
+            pts.append(p)
+    cloud = (np.concatenate(pts) * np.array([4.0, 3.0, 4.0])).astype(
+        np.float32)
+    rng.shuffle(cloud)
+    n = cloud.shape[0]
+    drift = np.array([0.15, -0.4, 0.1], np.float32)
+    drifted = cloud.copy()
+    drifted[int(n * 0.78):] += drift  # tail inserted at drifted positions
+
+    n_img = 60
+    est = [np.eye(4, dtype=np.float32) for _ in range(n_img)]
+    for c2w in est:
+        c2w[:3, 3] = [2.0, 1.5, 2.0]
+    est[-1][:3, 3] += drift
+    before_tail = est[-1][:3, 3].copy()
+    before_head = est[0][:3, 3].copy()
+
+    class _NPC:
+        def input_pos(self):
+            return drifted
+
+    class _Slam:
+        cfg = {"mapping": {"end_corr_min_pts": 1000,
+                           "end_corr_min_fitness": 0.3}}
+        npc = _NPC()
+        estimate_c2w_list = est
+
+    s = _Slam()
+    s.n_img = n_img
+    assert apply_end_correction(s)
+    corr = est[-1][:3, 3] - before_tail
+    # registration undoes most of the injected tail drift
+    assert np.linalg.norm(corr + drift) < 0.25 * np.linalg.norm(drift)
+    # decay: full correction at the tail, none outside the 0.4*n window
+    np.testing.assert_allclose(est[0][:3, 3], before_head, atol=1e-7)
+    mid = n_img - 1 - int(0.2 * n_img)
+    mid_corr = est[mid][:3, 3] - before_head
+    assert 0.1 < np.linalg.norm(mid_corr) / np.linalg.norm(corr) < 0.95
+
+
 def test_convert_pretrained_roundtrip(tmp_path):
     """Fake ConvONet 'coarse' checkpoint -> npz -> slam.load_pretrain keys.
 

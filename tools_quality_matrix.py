@@ -50,8 +50,14 @@ VARIANTS = [
     ("noisy_base", "configs/Synthetic/synth_noisy.yaml", {}),
     ("noisy_no_exposure", "configs/Synthetic/synth_noisy.yaml",
      {"model.encode_exposure": False}),
+    # BA needs >4 keyframes to engage (mapper.py use_ba gate, reference
+    # Mapper.py:1152-1153); at the base keyframe_every=10 a 30-frame run
+    # registers only 4, so densify keyframes — with a no-BA control at the
+    # same keyframe density so the toggle is the only difference
+    ("noisy_kf5", "configs/Synthetic/synth_noisy.yaml",
+     {"mapping.keyframe_every": 5}),
     ("noisy_ba", "configs/Synthetic/synth_noisy.yaml",
-     {"mapping.BA": True}),
+     {"mapping.BA": True, "mapping.keyframe_every": 5}),
     ("loop_endcorr", "configs/Synthetic/synth_loop.yaml",
      {"mapping.end_correction": True}),
     ("loop_no_endcorr", "configs/Synthetic/synth_loop.yaml",
