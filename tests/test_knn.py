@@ -95,6 +95,28 @@ def test_knn_segmin_recall(rng):
     np.testing.assert_array_equal(e[:, 0], s[:, 0])
 
 
+def test_knn_auto_fallback_recall(rng):
+    """knn_auto above _EXACT_MAX_N (the mesher/eval_points path, no tile
+    index) must hold recall@8 >= 0.99 even on a WORST-CASE ordering:
+    a spatially-sorted wall cloud, where each query's true neighbourhood
+    is CONTIGUOUS in the array and piles into few segments (the m=2
+    hot-path default caps at 2 hits per segment and measures 0.51 here;
+    knn_auto runs m=8)."""
+    from hpslam_tpu.ops.knn import knn_auto, _EXACT_MAX_N
+    N, Q = _EXACT_MAX_N * 2, 800
+    pts = rng.uniform(0, 4, (N, 3)).astype(np.float32)
+    pts[:, 1] = rng.normal(0, 0.005, N)  # one flat wall
+    order = np.lexsort((pts[:, 2], pts[:, 0]))  # spatially sorted = worst
+    pts = pts[order]
+    q = (pts[rng.integers(0, N, Q)]
+         + rng.normal(0, 0.03, (Q, 3))).astype(np.float32)
+    D_e, I_e = K.knn(jnp.asarray(q), jnp.asarray(pts), jnp.int32(N), k=8)
+    D_a, I_a = knn_auto(jnp.asarray(q), jnp.asarray(pts), jnp.int32(N), k=8)
+    e, a = np.asarray(I_e), np.asarray(I_a)
+    recall = np.mean([len(set(e[i]) & set(a[i])) / 8 for i in range(Q)])
+    assert recall >= 0.99, recall
+
+
 def test_knn_segmin_masks_inactive(rng):
     from hpslam_tpu.ops.knn import knn_segmin
     pts = np.zeros((8192, 3), np.float32)
