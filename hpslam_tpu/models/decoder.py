@@ -450,7 +450,8 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
                geo_feats, col_feats, cloud_pos, r_query,
                n_pts_per_ray: int, is_tracker: bool = False,
                views_d=None, normals=None, exposure_feat=None,
-               cat_feats=None, dec_wgrads: bool = True):
+               cat_feats=None, dec_wgrads: bool = True,
+               dense_cache=None):
     """Evaluate one render stage at sample positions.
 
     Mirrors ``NICER.forward`` (decoder.py:660-758) with ``stage`` static:
@@ -462,15 +463,32 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
     The kNN result (D, I) is computed once by the caller and shared by the
     geometry and colour decoders of the level (the reference searches twice).
 
+    dense_cache: optional (cpos (Q, k, 3), cfeat (Q, k, 2C)) PRE-GATHERED
+    frozen neighbour positions + [geo | col] features (tracker sub-stage
+    hoisting; invalid slots carry a 1e6 sentinel position / zero features).
+    Requires is_tracker and the plain (non-rel-pos) feature variant; the
+    per-call row gathers disappear.
+
     Returns: raw (N, 4), valid_ray (N_rays,), point_mask (N,)
     """
     level = "mid" if stage.endswith("_mid") else "fine"
     geo_dec = params[f"geo_{level}"]
+    if dense_cache is not None:
+        assert is_tracker and not (cfg.encode_rel_pos_in_geo
+                                   or cfg.encode_rel_pos_in_col), \
+            "dense_cache: tracker-mode plain feature variant only"
+        cpos, cfeat = dense_cache
 
     if stage.startswith("geometry"):
-        c_geo, has = interpolate_level_feats(
-            geo_dec, cfg, p, D, I, geo_feats, cloud_pos, r_query,
-            diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_geo)
+        if dense_cache is not None:
+            weights, has = IT.interp_weights(
+                D, I, p, cloud_pos, r_query, cfg.min_nn_num, cfg.weighting,
+                diff_pos=True, neighbor_pos=cpos)
+            c_geo = IT.weighted_dense(cfeat[..., : cfg.c_dim], weights, has)
+        else:
+            c_geo, has = interpolate_level_feats(
+                geo_dec, cfg, p, D, I, geo_feats, cloud_pos, r_query,
+                diff_pos=is_tracker, encode_rel_pos=cfg.encode_rel_pos_in_geo)
         if fused_usable(cfg):
             occ = fused_geo(geo_dec, cfg, p, c_geo)
         else:
@@ -481,7 +499,13 @@ def eval_stage(params: Params, cfg: ModelConfig, stage: str, p, D, I,
         return raw, vmask, has
 
     col_dec = params[f"col_{level}"]
-    if not (cfg.encode_rel_pos_in_geo or cfg.encode_rel_pos_in_col):
+    if dense_cache is not None:
+        weights, has = IT.interp_weights(
+            D, I, p, cloud_pos, r_query, cfg.min_nn_num, cfg.weighting,
+            diff_pos=True, neighbor_pos=cpos)
+        c_all = IT.weighted_dense(cfeat, weights, has).astype(jnp.float32)
+        c_geo, c_col = c_all[:, : cfg.c_dim], c_all[:, cfg.c_dim:]
+    elif not (cfg.encode_rel_pos_in_geo or cfg.encode_rel_pos_in_col):
         # single fused gather of [geo | col] features — random-access
         # gathers are the mapping bottleneck on TPU (one 2C-wide gather
         # beats two C-wide ones; the concat is cheap sequential bandwidth).

@@ -1314,9 +1314,11 @@ def _maploss_bwd(row, uf, okf, aff, Bg, Bc, geo_flat, col_flat,
     # smaller ray block than fwd: the bwd also holds the saved trunk
     # activations + both cotangent stacks (bn=200 hit the 16M scoped
     # VMEM limit at ScanNet dims).  Unlike fwd we don't insist bn
-    # divides n_r — grid-step count matters more than a few padded rows
-    # (bn=80 means 125 weight-reload steps at 10k rays; bn=128 means 79).
-    bn = min(max(8, int(os.environ.get("HPSLAM_MAPLOSS_BN", ((512 // S) // 8) * 8))), -(-n_r // 8) * 8)
+    # divides n_r — grid-step count matters more than a few padded rows.
+    # Measured at the ScanNet colour op point (v5e): bn 64 -> 3.53,
+    # 96 -> 3.41, 128 -> 3.29, 160 -> 3.33 ms/iter, 200 -> compile crash;
+    # default 128.
+    bn = min(max(8, int(os.environ.get("HPSLAM_MAPLOSS_BN", ((640 // S) // 8) * 8))), -(-n_r // 8) * 8)
     nr_pad = -(-n_r // bn) * bn
     rowp = _pad_rows(row, nr_pad)
     ufp = _pad_rows(uf, nr_pad)

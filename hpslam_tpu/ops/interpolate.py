@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 
 def interp_weights(D, I, p, cloud_pos, r_query, min_nn_num: int,
-                   weighting: str = "distance", diff_pos: bool = False):
+                   weighting: str = "distance", diff_pos: bool = False,
+                   neighbor_pos=None):
     """Compute normalised neighbour weights.
 
     Args:
@@ -33,6 +34,11 @@ def interp_weights(D, I, p, cloud_pos, r_query, min_nn_num: int,
       min_nn_num: minimum neighbours for a valid sample (cfg pointcloud.min_nn_num).
       weighting: 'distance' (1/d^2) or 'expo' (exp(-20*d)).
       diff_pos: tracker mode — re-derive D differentiably.
+      neighbor_pos: optional (Q, k, 3) PRE-GATHERED neighbour positions —
+        skips the per-call ``cloud_pos[I]`` row gather (the tracker's
+        neighbour sets are frozen per sub-stage, so the gather is hoisted
+        out of its optimization scan; invalid slots must carry a far
+        sentinel position so they get zero weight).
 
     Returns:
       weights: (Q, k, 1) L1-normalised, zero outside radius.
@@ -47,7 +53,8 @@ def interp_weights(D, I, p, cloud_pos, r_query, min_nn_num: int,
     has_neighbors = nn_num > (min_nn_num - 1)
 
     if diff_pos:
-        neighbor_pos = cloud_pos[I]  # (Q, k, 3)
+        if neighbor_pos is None:
+            neighbor_pos = cloud_pos[I]  # (Q, k, 3)
         Dd = jnp.sum(jnp.square(neighbor_pos - p[:, None, :]), axis=-1)
         out = Dd > r2
         Dd = jnp.where(out, 1e4 if weighting == "distance" else 50.0, Dd)
@@ -187,3 +194,13 @@ def weighted_gather(feats, I, weights, has_neighbors, fill=None):
     if fill is None:
         fill = jnp.zeros_like(c)
     return jnp.where(has_neighbors[:, None], c, fill)
+
+
+def weighted_dense(gathered, weights, has_neighbors):
+    """c = sum_k w_k * gathered_k over PRE-GATHERED (Q, k, C) neighbour
+    features (tracker dense-cache path: features are frozen during pose
+    optimization, so the row gather runs once per sub-stage and every scan
+    iteration is a pure broadcast-reduce — no HBM gathers, no scatter in
+    the backward).  Invalid rows zeroed like weighted_gather."""
+    c = jnp.sum(weights * gathered.astype(weights.dtype), axis=1)
+    return jnp.where(has_neighbors[:, None], c, jnp.zeros_like(c))

@@ -71,7 +71,7 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 far_fallback: Optional[jnp.ndarray] = None,
                 zero_depth_z_vals: Optional[jnp.ndarray] = None,
                 knn_cache=None, tile_index=None, cat_feats=None,
-                dec_wgrads: bool = True):
+                dec_wgrads: bool = True, dense_cache=None):
     """Render one batch of rays at one stage/level.
 
     Args:
@@ -97,6 +97,9 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         tracker's differentiable distance re-derivation absorb the drift,
         and the reference itself tolerates approximate neighbours from
         faiss IVF).
+      dense_cache: optional (cpos (Q, k, 3), cfeat (Q, k, 2C)) pre-gathered
+        frozen neighbour positions/features (see Dec.eval_stage) — the
+        tracker hoists these row gathers out of its optimization scan.
 
     Returns: depth (N,), uncertainty (N,), color (N, 3), valid_ray_mask (N,)
     """
@@ -136,7 +139,7 @@ def render_rays(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         params, mcfg, stage, p, D, I, geo_feats, col_feats, cloud_pos, rq,
         n_pts_per_ray=S_pts, is_tracker=is_tracker, views_d=views_d,
         exposure_feat=exposure_feat, cat_feats=cat_feats,
-        dec_wgrads=dec_wgrads)
+        dec_wgrads=dec_wgrads, dense_cache=dense_cache)
 
     # samples without neighbours are forced transparent (Renderer.py:237-239)
     occ = jnp.where(point_mask, raw[:, -1], -100.0)

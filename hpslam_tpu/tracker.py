@@ -36,7 +36,8 @@ from .renderer import RenderConfig, render_rays
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
                      "resample_stages", "ray_cand_k", "knn_probe",
-                     "union_u", "mesh", "pool_factor", "fused_track"))
+                     "union_u", "mesh", "pool_factor", "fused_track",
+                     "dense_cache"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -50,7 +51,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 w_color: float, use_color: bool, handle_dynamic: bool,
                 resample_stages: int = 1, ray_cand_k: int = 0,
                 knn_probe: int = 16, union_u: int = 0, mesh=None,
-                pool_factor: int = 1, fused_track: bool = False):
+                pool_factor: int = 1, fused_track: bool = False,
+                dense_cache: bool = True):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -62,6 +64,16 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     render/loss work and psums the 7-d pose gradient over ICI; the camera,
     decoders, and scene arrays stay replicated.  None = single-chip,
     byte-identical programs.
+
+    dense_cache: pre-gather the frozen neighbour positions + [geo | col]
+    features into dense (Q, k, ·) arrays ONCE per sub-stage, so each scan
+    iteration is a pure broadcast-reduce over them (no per-iteration HBM
+    row gathers — the dominant XLA cost of the tracker loop; ~200k rows
+    per iteration at the ScanNet operating point).  Semantics identical to
+    the gather path (tests/test_renderer.py dense-cache equivalence), with
+    one strictly-better edge case: padded search slots (D >= BIG) carry a
+    1e6 sentinel position instead of aliasing point 0.  Applies to the
+    plain path only (union/fused/pool paths manage their own caches).
 
     pool_factor: > 1 approximates the reference's PER-ITERATION pixel
     resampling (Tracker.py:128-168) at one search's cost: each sub-stage
@@ -82,6 +94,13 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                     or mcfg.encode_rel_pos_in_col
                     or mcfg.encode_rel_pos_in_geo), \
             "fused_track: baseline decoder variants only"
+    # dense cache applies to the plain path with plain feature variants
+    # (rel-pos interpolation recomputes per-neighbour encodings and keeps
+    # the gather path; pool/union/fused paths manage their own caches)
+    use_dense = (dense_cache and union_u <= 0 and not fused_track
+                 and pool_factor <= 1
+                 and not (mcfg.encode_rel_pos_in_geo
+                          or mcfg.encode_rel_pos_in_col))
     # --- optimizable pytree (the reference's param groups, Tracker.py:383-415)
     if separate_lr:
         opt_params = {"quad": cam_init[:4], "T": cam_init[4:]}
@@ -258,11 +277,15 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             depth, unc, color, _ = render_union_track(
                 pr, stage, rays_o, rays_d, d_gt, rq, knn_cache, expo)
         else:
+            dense = None
+            if len(knn_cache) == 4:
+                knn_cache, dense = knn_cache[:2], knn_cache[2:]
             depth, unc, color, _ = render_rays(
                 pr, mcfg, rcfg, stage, rays_o, rays_d, d_gt,
                 pos, count, geo, col, rq, is_tracker=True,
                 exposure_feat=expo, knn_cache=knn_cache,
-                cat_feats=cat_feats, dec_wgrads=False)
+                cat_feats=cat_feats, dec_wgrads=False,
+                dense_cache=dense)
         unc = jax.lax.stop_gradient(unc)
         ok = inside & jnp.isfinite(depth) & jnp.isfinite(unc)
         tmp = jnp.abs(d_gt - depth) / jnp.sqrt(unc + 1e-10)
@@ -425,6 +448,19 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                  cpos.reshape(n, n_surface * kk * 3)], 1)
             return rowc, cfs.reshape(n, n_surface * kk * 2 * mcfg.c_dim)
         if union_u <= 0:
+            if use_dense:
+                # dense-cache path: hoist the frozen-neighbour row gathers
+                # out of the scan (one-off here; padded slots get a far
+                # sentinel position / zero features so their recomputed
+                # weight is exactly 0)
+                cap = cloud_pos.shape[0]
+                I2 = jnp.where(D >= Knn.BIG, cap, I)
+                safe_ids = jnp.minimum(I2, cap - 1)
+                valid = (I2 < cap)[..., None]
+                cpos = jnp.where(valid, cloud_pos[safe_ids], 1e6)
+                cfs = jnp.where(valid, cat_feats[safe_ids],
+                                jnp.zeros((), cat_feats.dtype))
+                return D, I, cpos, cfs
             return D, I
         # per-ray union + one-off gathers of FROZEN positions/features
         # (see render_union_track)
@@ -560,6 +596,7 @@ class Tracker:
         # iteration, measured 3.1 vs 1.8 ms/iter at the ScanNet operating
         # point.  Kept as a knob for configs with larger k.
         self.union_u = int(t.get("union_size", 0))
+        self.dense_cache = bool(t.get("dense_cache", True))
         # fused tracker iteration kernel ('auto' -> on-TPU only; the
         # Pallas kernels interpret off-TPU).  Falls back to the XLA path
         # whenever an unsupported variant knob is active (see
@@ -679,7 +716,8 @@ class Tracker:
             ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe,
             union_u=self.union_u, mesh=getattr(slam, "mesh", None),
             pool_factor=self.pool_factor,
-            fused_track=self._fused_ok(slam))
+            fused_track=self._fused_ok(slam),
+            dense_cache=self.dense_cache)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

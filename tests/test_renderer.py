@@ -99,3 +99,66 @@ def test_eval_points(rng):
     occ, rgb, mask = R.eval_points(params, mcfg, p, pos, count, geo, col,
                                    jnp.full((2,), 0.3))
     assert bool(mask[0]) and not bool(mask[1])
+
+
+def test_dense_cache_equivalence(rng):
+    """Tracker dense-cache path == gather path: same render outputs and the
+    SAME pose-side gradients (gradients flow through the recomputed
+    distances in both; the dense path merely hoists the frozen-neighbour
+    row gathers out of the loop)."""
+    from hpslam_tpu.ops import knn as K
+
+    mcfg = Dec.ModelConfig(c_dim=8, geo_embed=16, col_embed=8, rel_embed=4,
+                           hidden_geo=16, hidden_col=32)
+    rcfg = R.RenderConfig(sample_near_pcl=False)
+    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
+    pos, count, geo, col = build_wall_scene(rng)
+    cat = jnp.concatenate([geo, col], axis=1)
+
+    N = 17
+    dx = jnp.linspace(-0.25, 0.25, N)
+    rays_d = jnp.stack([dx, jnp.zeros(N), -jnp.ones(N)], -1)
+    gt_depth = 2.0 / -rays_d[:, 2] * jnp.ones(N)
+    rq = jnp.full((N,), 0.3)
+    S = rcfg.N_surface
+
+    def render(o_z, use_dense, stage):
+        rays_o = jnp.stack([jnp.zeros(N), jnp.zeros(N),
+                            jnp.full((N,), o_z)], -1)
+        from hpslam_tpu.ops import sampling as Samp
+        z = Samp.surface_z_vals(gt_depth, S, rcfg.near_end_surface,
+                                rcfg.far_end_surface, rcfg.fix_interval)
+        p = (rays_o[:, None] + rays_d[:, None] * z[..., None]).reshape(-1, 3)
+        D, I = K.knn_auto(jax.lax.stop_gradient(p), pos, count, k=rcfg.nn_num)
+        dense = None
+        if use_dense:
+            cap = pos.shape[0]
+            I2 = jnp.where(D >= K.BIG, cap, I)
+            safe = jnp.minimum(I2, cap - 1)
+            valid = (I2 < cap)[..., None]
+            cpos = jnp.where(valid, pos[safe], 1e6)
+            cfs = jnp.where(valid, cat[safe], 0.0)
+            dense = (cpos, cfs)
+        d, u, c, vm = R.render_rays(
+            params, mcfg, rcfg, stage, rays_o, rays_d, gt_depth,
+            pos, count, geo, col, rq, is_tracker=True,
+            knn_cache=(D, I), cat_feats=cat, dec_wgrads=False,
+            dense_cache=dense)
+        return d, u, c, vm
+
+    for stage in ["color_fine", "geometry_mid"]:
+        ref = render(0.0, False, stage)
+        new = render(0.0, True, stage)
+        for a, b in zip(ref, new):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+        def loss(o_z, use_dense):
+            d, u, c, _ = render(o_z, use_dense, stage)
+            return (jnp.sum(jnp.abs(gt_depth - d) / jnp.sqrt(u + 1e-10))
+                    + 0.5 * jnp.sum(jnp.abs(c)))
+
+        g_ref = jax.grad(loss)(0.01, False)
+        g_new = jax.grad(loss)(0.01, True)
+        np.testing.assert_allclose(float(g_ref), float(g_new),
+                                   rtol=1e-5, atol=1e-7)

@@ -63,7 +63,8 @@ def main():
     pool_j = jnp.asarray(pool)
 
     def run(tag, pixels=5000, iters=100, resample=2, use_exposure=True,
-            use_color=True, bf16=False, fused=False, union_u=0, pf=1):
+            use_color=True, bf16=False, fused=False, union_u=0, pf=1,
+            dense=False):
         mc = Dec.ModelConfig(encode_exposure=True,
                              encode_rel_pos_in_col=False, mm_bf16=bf16,
                              fused_mlp=fused)
@@ -81,7 +82,7 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
                 use_exposure=use_exposure, w_color=0.5, use_color=use_color,
                 handle_dynamic=True, resample_stages=resample,
-                union_u=union_u, pool_factor=pf)
+                union_u=union_u, pool_factor=pf, dense_cache=dense)
             jax.block_until_ready(out)
 
         keys = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -131,6 +132,21 @@ def main():
         ("pool2 r2", dict(resample=2, pf=2)),
         ("pool4 r1", dict(resample=1, pf=4)),
         ("pool1 r4", dict(resample=4)),
+        # dense pre-gathered neighbour cache (tracking.dense_cache)
+        ("dense i102r1", dict(iters=102, resample=1, dense=True)),
+        ("dense i2r1 (fixed)", dict(iters=2, resample=1, dense=True)),
+        ("dense r4 (prod default)", dict(resample=4, dense=True)),
+        ("dense bf16 i102r1", dict(iters=102, resample=1, dense=True,
+                                   bf16=True)),
+        ("xdense pool1 r4", dict(resample=4)),
+        ("dense+fused i102r1", dict(iters=102, resample=1, dense=True,
+                                    fused=True)),
+        ("dense nocolor i102r1", dict(iters=102, resample=1, dense=True,
+                                      use_color=False)),
+        ("dense px2500 i102r1", dict(iters=102, resample=1, dense=True,
+                                     pixels=2500)),
+        ("dense noexpo i102r1", dict(iters=102, resample=1, dense=True,
+                                     use_exposure=False)),
         ("prod union16", dict(union_u=16)),
         ("i102r1 union16", dict(iters=102, resample=1, union_u=16)),
         ("i2r1 union16", dict(iters=2, resample=1, union_u=16)),
