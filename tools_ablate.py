@@ -59,6 +59,10 @@ def main():
         ("cacheP8000", {"mapping.pixels_knn_cache": 8000}),
         ("union8", {"mapping.union_size": 8}),
         ("union40", {"mapping.union_size": 40}),  # = S*k, no union drops
+        # u below k=8: per-sample neighbour DROPPING, not just union
+        # truncation — quality gate for the ~0.3-0.5 ms/iter perf win
+        ("union4", {"mapping.union_size": 4}),
+        ("union6", {"mapping.union_size": 6}),
         ("bf16", {"model.mm_bf16": True}),
         ("bf16_resample2", {"model.mm_bf16": True,
                             "tracking.resample_stages": 2}),

@@ -159,6 +159,9 @@ def main():
                                        use_exposure=False)),
         ("color u8 comp U=8192", dict(u_max=8, fused=True, comp=True,
                                       U_override=8192)),
+        ("color u4 comp", dict(u_max=4, fused=True, comp=True)),
+        ("geometry u4 comp", dict(stage=0, u_max=4, fused=True, comp=True)),
+        ("color u6 comp", dict(u_max=6, fused=True, comp=True)),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for tag, kw in variants:

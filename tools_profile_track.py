@@ -64,7 +64,7 @@ def main():
 
     def run(tag, pixels=5000, iters=100, resample=2, use_exposure=True,
             use_color=True, bf16=False, fused=False, union_u=0, pf=1,
-            dense=False):
+            dense=False, probe=16):
         mc = Dec.ModelConfig(encode_exposure=True,
                              encode_rel_pos_in_col=False, mm_bf16=bf16,
                              fused_mlp=fused)
@@ -82,7 +82,8 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
                 use_exposure=use_exposure, w_color=0.5, use_color=use_color,
                 handle_dynamic=True, resample_stages=resample,
-                union_u=union_u, pool_factor=pf, dense_cache=dense)
+                union_u=union_u, pool_factor=pf, dense_cache=dense,
+                knn_probe=probe)
             jax.block_until_ready(out)
 
         keys = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -147,6 +148,12 @@ def main():
                                      pixels=2500)),
         ("dense noexpo i102r1", dict(iters=102, resample=1, dense=True,
                                      use_exposure=False)),
+        # bench-parity rows (probe=12 like configs/point_slam.yaml)
+        ("bp dense r4 p12", dict(resample=4, dense=True, probe=12)),
+        ("bp dense r4 p12 i8", dict(resample=4, dense=True, probe=12,
+                                    iters=8)),
+        ("bp old r4 p12", dict(resample=4, probe=12)),
+        ("bp dense r1 p12", dict(resample=1, dense=True, probe=12)),
         ("prod union16", dict(union_u=16)),
         ("i102r1 union16", dict(iters=102, resample=1, union_u=16)),
         ("i2r1 union16", dict(iters=2, resample=1, union_u=16)),
