@@ -123,8 +123,11 @@ def main():
 
     def run_track(key):
         m, f = level_arrays["mid"], level_arrays["fine"]
-        # tracker runs unfused (see tracker.py: fused trunks crash the TPU
-        # compile helper inside the full track_frame program)
+        # tracker runs unfused ON MEASUREMENT (tracker.py:track): the fused
+        # trunks lose here (2.0 vs 1.8 ms/iter) — pose gradients force the
+        # embedding backward + forward recompute.  (An earlier compile
+        # crash was root-caused to the 22 constant-index weight-grad
+        # outputs and fixed via need_wgrads=False, so this is a choice.)
         mcfg_tr = dataclasses.replace(mcfg, fused_mlp=False)
         out = track_frame(
             params, mcfg_tr, rcfg, jnp.asarray(cam), key,

@@ -349,11 +349,11 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "kc", "tile", "probe", "r_chunk"))
+                   static_argnames=("k", "tile", "probe", "r_chunk"))
 def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
             pos_tiles: jnp.ndarray, perm: jnp.ndarray,
             tile_lo: jnp.ndarray, tile_hi: jnp.ndarray,
-            k: int = 8, kc: int = 32, tile: int = 128, probe: int = 32,
+            k: int = 8, tile: int = 128, probe: int = 32,
             r_chunk: int = 4096):
     """Per-RAY segment search: one tile probe + candidate selection per ray,
     exact per-sample top-k from the shared candidates.
@@ -378,8 +378,6 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
       z:      (R, S) ascending sample depths along each ray.
       pos_tiles/perm/tile_lo/tile_hi: build_tiles() index.
       k:      neighbours per sample.
-      kc:     unused (kept for call-site compat; per-ray candidate
-        ranking was removed for the recall reason above).
       probe:  tiles probed per ray.
 
     Returns (D (R*S, k) squared distances ascending, I (R*S, k) int32),
@@ -388,7 +386,6 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
     R, S = z.shape
     T = tile_lo.shape[1]
     probe = min(probe, T)
-    del kc  # see docstring
     tile = pos_tiles.shape[2]  # index's tile size wins (see knn_tiles)
     perm_tiles = perm.reshape(T, tile)
 

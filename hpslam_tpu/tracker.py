@@ -35,8 +35,8 @@ from .renderer import RenderConfig, render_rays
     static_argnames=("mcfg", "rcfg", "pixels", "iters_mid", "iters_fine",
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
-                     "resample_stages", "ray_cand_k", "knn_probe",
-                     "union_u", "mesh", "pool_factor", "fused_track",
+                     "resample_stages", "knn_probe",
+                     "mesh", "pool_factor", "fused_track",
                      "dense_cache"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
@@ -49,8 +49,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 W: int, fx: float, fy: float, cx: float, cy: float,
                 cam_lr: float, separate_lr: bool, use_exposure: bool,
                 w_color: float, use_color: bool, handle_dynamic: bool,
-                resample_stages: int = 1, ray_cand_k: int = 0,
-                knn_probe: int = 16, union_u: int = 0, mesh=None,
+                resample_stages: int = 1,
+                knn_probe: int = 16, mesh=None,
                 pool_factor: int = 1, fused_track: bool = False,
                 dense_cache: bool = True):
     """Optimize the camera for one frame.
@@ -73,7 +73,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     the gather path (tests/test_renderer.py dense-cache equivalence), with
     one strictly-better edge case: padded search slots (D >= BIG) carry a
     1e6 sentinel position instead of aliasing point 0.  Applies to the
-    plain path only (union/fused/pool paths manage their own caches).
+    plain path only (fused/pool paths manage their own caches).
 
     pool_factor: > 1 approximates the reference's PER-ITERATION pixel
     resampling (Tracker.py:128-168) at one search's cost: each sub-stage
@@ -88,7 +88,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     if fused_track:
         # fused tracker iteration (ops/fused_mlp.nicer_fused_trackloss):
         # v1 covers the production single-chip configuration
-        assert union_u <= 0 and ray_cand_k <= 0 and pool_factor <= 1 \
+        assert pool_factor <= 1 \
             and mesh is None, "fused_track: plain direct-cache path only"
         assert not (mcfg.use_view_direction or mcfg.use_normals
                     or mcfg.encode_rel_pos_in_col
@@ -96,8 +96,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             "fused_track: baseline decoder variants only"
     # dense cache applies to the plain path with plain feature variants
     # (rel-pos interpolation recomputes per-neighbour encodings and keeps
-    # the gather path; pool/union/fused paths manage their own caches)
-    use_dense = (dense_cache and union_u <= 0 and not fused_track
+    # the gather path; pool/fused paths manage their own caches)
+    use_dense = (dense_cache and not fused_track
                  and pool_factor <= 1
                  and not (mcfg.encode_rel_pos_in_geo
                           or mcfg.encode_rel_pos_in_col))
@@ -146,86 +146,6 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         out = (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
         return shard_batch(mesh, *out) if pool_factor <= 1 else out
 
-    def render_union_track(pr, stage, rays_o, rays_d, d_gt, rq, cache,
-                           expo):
-        """Pose-differentiable render over the per-ray neighbour UNION.
-
-        Features are FROZEN during tracking, so the union features/positions
-        are gathered ONCE per stage (stage_knn); each iteration recomputes
-        only the pose-dependent distances/weights from in-cache positions
-        and mixes features with one (S, u) x (u, 2C) batched matmul — NO
-        per-iteration HBM gathers.  MEASURED SLOWER than the gather path at
-        the ScanNet operating point (3.1 vs 1.8 ms/iter): with pose-
-        differentiable weights the backward needs dWm = einsum(ufeat, dc),
-        two extra batched small-matmul passes over the union cache that
-        outweigh the saved gathers.  Default off (tracking.union_size: 0);
-        semantics match interp_weights(diff_pos=True) with the union
-        drop-then-renormalise of the mapper's cache (tested vs the
-        reference path at union_u = S*k).
-        """
-        from .ops import composite as Co
-        from .ops import sampling as Samp
-
-        D, L, uposx, ufeat = cache        # (n,S,k), (n,S,k), (n,u+1,3), (n,u,2C)
-        n = rays_o.shape[0]
-        S_pts = rcfg.N_surface
-        u = ufeat.shape[1]
-        nz = d_gt > 0
-        safe = jnp.where(nz, d_gt, 1.0)
-        z = Samp.surface_z_vals(safe, S_pts, rcfg.near_end_surface,
-                                rcfg.far_end_surface, rcfg.fix_interval)
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-        # differentiable distances from cached union positions
-        cpos = jnp.take_along_axis(uposx[:, None], L[..., None], axis=2)
-        Dd = jnp.sum(jnp.square(cpos - pts[:, :, None, :]), -1)  # (n,S,k)
-        r2 = jnp.square(rq)[:, None, None]
-        nn_cnt = jnp.sum(D < r2, axis=-1)
-        has = nn_cnt > (mcfg.min_nn_num - 1)                     # (n, S)
-        if mcfg.weighting == "distance":
-            Dd = jnp.where(Dd > r2, 1e4, Dd)
-            w = 1.0 / (Dd + 1e-10)
-        else:
-            Dd = jnp.where(Dd > r2, 50.0, Dd)
-            w = jnp.exp(-20.0 * jnp.sqrt(Dd))
-        w = jnp.where(jax.lax.stop_gradient(Dd) > r2, 0.0, w)
-        # drop union-truncated neighbours, then L1-normalise (mapper rule)
-        onehot = (L[..., None] ==
-                  jnp.arange(u, dtype=jnp.int32)).astype(w.dtype)
-        Wm = jnp.einsum("nsk,nsku->nsu", w, onehot)
-        norm = jnp.maximum(jnp.sum(jnp.abs(Wm), -1, keepdims=True), 1e-12)
-        Wm = Wm / norm
-        c_all = jnp.einsum("nsu,nuc->nsc", Wm,
-                           ufeat.astype(jnp.float32)).reshape(
-            n * S_pts, -1)
-        hasf = has.reshape(-1)
-        c_all = jnp.where(hasf[:, None], c_all, 0.0)
-        C = mcfg.c_dim
-        c_geo, c_col = c_all[:, :C], c_all[:, C:]
-        p_flat = pts.reshape(-1, 3)
-        if Dec.fused_usable(mcfg):
-            occ, rgb = Dec.fused_color_pair(
-                pr[f"geo_{stage.split('_')[1]}"],
-                pr[f"col_{stage.split('_')[1]}"], mcfg, p_flat,
-                c_geo, c_col, exposure_feat=expo, need_wgrads=False)
-        else:
-            lv = stage.split("_")[1]
-            occ = Dec.apply_geo(pr[f"geo_{lv}"], mcfg, p_flat, c_geo)
-            views_d = (jnp.repeat(rays_d, S_pts, axis=0)
-                       if mcfg.use_view_direction else None)
-            rgb = Dec.apply_color(pr[f"col_{lv}"], mcfg, p_flat, c_col,
-                                  views_d=views_d, exposure_feat=expo)
-        vmask = Dec.valid_ray_mask(hasf, S_pts, rcfg.N_surface)
-        occ = jnp.where(hasf, occ, -100.0)
-        raw = jnp.concatenate([rgb, occ[:, None]], -1).reshape(n, S_pts, 4)
-        depth, unc, color, _ = Co.raw2outputs(
-            raw, z, rays_d, occupancy=rcfg.occupancy,
-            coef=rcfg.sigmoid_coef)
-        if not rcfg.sample_near_pcl:
-            depth = jnp.where(nz, depth, 0.0)
-        if rcfg.skip_zero_depth_pixel:
-            color = jnp.where(nz[:, None], color, 0.0)
-        return depth, unc, color, vmask
-
     def loss_fn(op, stage, level_arrays, inputs, knn_cache, cat_feats,
                 inside_thresh):
         cam, pr, expo = assemble(op)
@@ -273,9 +193,6 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 depth = jnp.where(nzb, depth, 0.0)
             if rcfg.skip_zero_depth_pixel:
                 color = jnp.where(nzb[:, None], color, 0.0)
-        elif union_u > 0:
-            depth, unc, color, _ = render_union_track(
-                pr, stage, rays_o, rays_d, d_gt, rq, knn_cache, expo)
         else:
             dense = None
             if len(knn_cache) == 4:
@@ -348,18 +265,13 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                   inside_thresh):
         def step(carry, xs):
             op, ostate, best_loss, best_cam = carry
-            if pool_factor > 1 and union_u <= 0:
+            if pool_factor > 1:
                 # PER-ITERATION resampling (reference freshness,
                 # Tracker.py:128-168): this iteration's rows were
                 # pre-gathered into the scan xs (run_stage), so the loop
                 # body only slices its (pixels, 87) block — no in-loop
                 # gathers at all (the iteration is op-count bound)
                 it_inputs, it_cache = unpack_rows(xs)
-            elif pool_factor > 1:
-                sel = jax.random.randint(xs, (pixels,), 0, n_draw)
-                sel = shard_batch(mesh, sel)
-                it_inputs = tuple(a[sel] for a in inputs)
-                it_cache = tuple(a[sel] for a in knn_cache)
             else:
                 it_inputs, it_cache = inputs, knn_cache
             loss, grads = jax.value_and_grad(
@@ -377,13 +289,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     def stage_knn(inputs, tile_index, cloud_pos, cat_feats, cam,
                   n_surface):
         """Single neighbour search at the stage's starting pose; iterations
-        reuse the result (see render_rays knn_cache / render_union_track).
-
-        union_u > 0 (default): additionally builds the per-ray neighbour
-        UNION cache — slot table + one-off gathers of the frozen positions
-        and [geo | col] features — so iterations do no HBM gathers at all.
-        ray_cand_k > 0 switches the search itself to the per-ray segment
-        variant (knn_ray; off by default, see knn.py)."""
+        reuse the result (see render_rays knn_cache)."""
         i, j, d_gt, _c, _rq = inputs
         c2w = G.get_camera_from_tensor(cam)
         rays_o, rays_d = G.get_rays_from_uv(i, j, c2w, fx, fy, cx, cy)
@@ -393,33 +299,29 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                                 rcfg.near_end_surface, rcfg.far_end_surface,
                                 rcfg.fix_interval)
         from .ops import knn as Knn
-        if ray_cand_k <= 0:
-            p = (rays_o[:, None] + rays_d[:, None] * z[..., None]
-                 ).reshape(-1, 3)
-            if mesh is None:
-                D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
-                                     probe=knn_probe)
-            else:
-                # dp-sharded search: single chunk (the chunk loop only
-                # bounds single-chip memory; per-device rows = Q/dp do
-                # the same here), query rows pinned to dp
-                p = shard_batch(mesh, p)
-                D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
-                                     probe=knn_probe,
-                                     q_chunk=p.shape[0])
-                if pool_factor > 1:
-                    # pooled cache: re-replicate so the per-iteration
-                    # random-row gathers stay device-local (one
-                    # all-gather per stage)
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    repl = NamedSharding(mesh, PartitionSpec())
-                    D = jax.lax.with_sharding_constraint(D, repl)
-                    I = jax.lax.with_sharding_constraint(I, repl)
-                else:
-                    D, I = shard_batch(mesh, D, I)
+        p = (rays_o[:, None] + rays_d[:, None] * z[..., None]
+             ).reshape(-1, 3)
+        if mesh is None:
+            D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
+                                 probe=knn_probe)
         else:
-            D, I = Knn.knn_ray(rays_o, rays_d, z, *tile_index,
-                               k=rcfg.nn_num, kc=ray_cand_k)
+            # dp-sharded search: single chunk (the chunk loop only
+            # bounds single-chip memory; per-device rows = Q/dp do
+            # the same here), query rows pinned to dp
+            p = shard_batch(mesh, p)
+            D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
+                                 probe=knn_probe,
+                                 q_chunk=p.shape[0])
+            if pool_factor > 1:
+                # pooled cache: re-replicate so the per-iteration
+                # random-row gathers stay device-local (one
+                # all-gather per stage)
+                from jax.sharding import NamedSharding, PartitionSpec
+                repl = NamedSharding(mesh, PartitionSpec())
+                D = jax.lax.with_sharding_constraint(D, repl)
+                I = jax.lax.with_sharding_constraint(I, repl)
+            else:
+                D, I = shard_batch(mesh, D, I)
         if fused_track:
             # per-stage cache rows for the fused tracker kernel: frozen
             # neighbour positions + features gathered ONCE (the XLA path
@@ -447,50 +349,20 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 [z, d_gt[:, None], _c, r2, has, nz,
                  cpos.reshape(n, n_surface * kk * 3)], 1)
             return rowc, cfs.reshape(n, n_surface * kk * 2 * mcfg.c_dim)
-        if union_u <= 0:
-            if use_dense:
-                # dense-cache path: hoist the frozen-neighbour row gathers
-                # out of the scan (one-off here; padded slots get a far
-                # sentinel position / zero features so their recomputed
-                # weight is exactly 0)
-                cap = cloud_pos.shape[0]
-                I2 = jnp.where(D >= Knn.BIG, cap, I)
-                safe_ids = jnp.minimum(I2, cap - 1)
-                valid = (I2 < cap)[..., None]
-                cpos = jnp.where(valid, cloud_pos[safe_ids], 1e6)
-                cfs = jnp.where(valid, cat_feats[safe_ids],
-                                jnp.zeros((), cat_feats.dtype))
-                return D, I, cpos, cfs
-            return D, I
-        # per-ray union + one-off gathers of FROZEN positions/features
-        # (see render_union_track)
-        from .ops import interpolate as IT
-        n = i.shape[0]
-        S_pts, kk = n_surface, rcfg.nn_num
-        cap = cloud_pos.shape[0]
-        # invalid search slots (D >= BIG, I = 0) must not alias real point
-        # 0: render_union_track recomputes distances from cached positions,
-        # so a padded neighbour folded into point 0's union group could
-        # gain weight whenever point 0 is within r_query.  Remap them to
-        # the capacity sentinel so they land on the padded 1e6-position row
-        # and get zero weight.
-        I = jnp.where(D >= Knn.BIG, cap, I)
-        if mcfg.weighting == "distance":
-            w_rank = 1.0 / (D + 1e-10)
-        else:
-            w_rank = jnp.exp(-20.0 * jnp.sqrt(jnp.maximum(D, 0.0)))
-        uids, L = jax.vmap(IT.union_slots, in_axes=(0, 0, None, None))(
-            I.reshape(n, S_pts * kk), w_rank.reshape(n, S_pts * kk),
-            union_u, cap)
-        safe_ids = jnp.minimum(uids, cap - 1)
-        upos = jnp.where((uids < cap)[..., None],
-                         cloud_pos[safe_ids], 1e6)       # (n, u, 3)
-        uposx = jnp.concatenate(
-            [upos, jnp.full((n, 1, 3), 1e6, upos.dtype)], 1)
-        ufeat = jnp.where((uids < cap)[..., None],
-                          cat_feats[safe_ids], 0)        # (n, u, 2C)
-        return shard_batch(mesh, D.reshape(n, S_pts, kk),
-                           L.reshape(n, S_pts, kk), uposx, ufeat)
+        if use_dense:
+            # dense-cache path: hoist the frozen-neighbour row gathers
+            # out of the scan (one-off here; padded slots get a far
+            # sentinel position / zero features so their recomputed
+            # weight is exactly 0)
+            cap = cloud_pos.shape[0]
+            I2 = jnp.where(D >= Knn.BIG, cap, I)
+            safe_ids = jnp.minimum(I2, cap - 1)
+            valid = (I2 < cap)[..., None]
+            cpos = jnp.where(valid, cloud_pos[safe_ids], 1e6)
+            cfs = jnp.where(valid, cat_feats[safe_ids],
+                            jnp.zeros((), cat_feats.dtype))
+            return D, I, cpos, cfs
+        return D, I
 
     ostate = Opt.init(opt_params)
     carry = (opt_params, ostate, jnp.asarray(1e20, jnp.float32), cam_init)
@@ -521,7 +393,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             d_gt_stage = inputs[2]
             inside_thresh = jnp.minimum(10.0 * jnp.median(d_gt_stage),
                                         1.2 * jnp.max(d_gt_stage))
-            if pool_factor > 1 and union_u <= 0:
+            if pool_factor > 1:
                 # pre-gather every iteration's fresh subset up-front: one
                 # (sub*pixels)-row gather from the packed pool, fed to the
                 # scan as xs (sliced per iteration for free)
@@ -582,20 +454,15 @@ class Tracker:
         # (Tracker.py:128-168) at one search per sub-stage (see
         # track_frame docstring)
         self.pool_factor = int(t.get("pixel_pool_factor", 1))
-        # 0 = exact per-sample search (default).  The per-ray segment
-        # search (knn_ray) measured SLOWER at prod scale: per-ray candidate
-        # sets must be ~2x wider (probe=32) for recall parity, and the
-        # per-sample distance+select over those wider sets outweighs the
-        # amortised tile scoring/gathers (89 vs 63 ms at 25k samples).
-        self.ray_cand_k = int(t.get("ray_cand_k", 0))
         self.knn_probe = int(t.get("knn_probe", 12))
-        # per-ray neighbour-union gather (render_union_track).  Default
-        # OFF: unlike the mapper (fixed weights), the tracker's pose-
-        # differentiable weights need a dWm backward — two extra batched
-        # (S,u)x(u,2C) matmul passes over the union feature cache per
-        # iteration, measured 3.1 vs 1.8 ms/iter at the ScanNet operating
-        # point.  Kept as a knob for configs with larger k.
-        self.union_u = int(t.get("union_size", 0))
+        # Two measured-negative tracker variants were REMOVED (VERDICT r02
+        # item 9), their measurements kept here for the record: (a) per-ray
+        # segment search (ops/knn.knn_ray, still available standalone) —
+        # needs probe=32 for recall parity, 89 vs 63 ms at 25k samples;
+        # (b) per-ray neighbour-union gather — pose-differentiable weights
+        # force a dWm backward over the union feature cache, 3.1 vs 1.8
+        # ms/iter at the ScanNet operating point (the mapper KEEPS unions:
+        # its weights are frozen per stage, where they measure positive).
         self.dense_cache = bool(t.get("dense_cache", True))
         # fused tracker iteration kernel ('auto' -> on-TPU only; the
         # Pallas kernels interpret off-TPU).  Falls back to the XLA path
@@ -621,8 +488,7 @@ class Tracker:
         """fused_track only covers the production configuration; any
         variant knob falls back to the XLA path silently (once-logged)."""
         m = slam.mcfg
-        ok = (self.fused_loss and self.union_u <= 0
-              and self.ray_cand_k <= 0 and self.pool_factor <= 1
+        ok = (self.fused_loss and self.pool_factor <= 1
               and getattr(slam, "mesh", None) is None
               and not (m.use_view_direction or m.use_normals
                        or m.encode_rel_pos_in_col
@@ -713,8 +579,8 @@ class Tracker:
             use_exposure=self.use_exposure, w_color=self.w_color,
             use_color=self.use_color, handle_dynamic=self.handle_dynamic,
             resample_stages=self.resample_stages,
-            ray_cand_k=self.ray_cand_k, knn_probe=self.knn_probe,
-            union_u=self.union_u, mesh=getattr(slam, "mesh", None),
+            knn_probe=self.knn_probe,
+            mesh=getattr(slam, "mesh", None),
             pool_factor=self.pool_factor,
             fused_track=self._fused_ok(slam),
             dense_cache=self.dense_cache)

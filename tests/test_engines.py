@@ -416,54 +416,6 @@ def test_map_scan_union_matches_reference_path(rng):
 
 
 @pytest.mark.slow
-def test_track_frame_union_matches_reference_path(rng):
-    """With union_u = S*k (no drops) the tracker's union-gather render is
-    the same computation as the per-sample weighted_gather path (same
-    weights, same normalisation set) — loss trajectories must agree to
-    float-accumulation tolerance."""
-    mcfg = small_cfg()
-    rcfg = R.RenderConfig(sample_near_pcl=False)
-    params = Dec.init_nicer(jax.random.PRNGKey(0), mcfg)
-    pos, count, geo, col = wall_level(rng)
-    H, W = 24, 32
-    fx = fy = 20.0
-    cx, cy = 15.5, 11.5
-    jj, ii = np.mgrid[0:H, 0:W]
-    dirs0 = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
-                      -np.ones_like(ii, float)], -1)
-    depth_img = (2.0 / -dirs0[..., 2]).astype(np.float32)
-    color_img = rng.uniform(0.2, 0.8, (H, W, 3)).astype(np.float32)
-    rqm = np.full((H, W), 0.4, np.float32)
-    pool = np.arange(H * W, dtype=np.int32)
-    cam_init = np.array([1, 0, 0, 0, 0.04, -0.02, 0.03], np.float32)
-    idx = KK.build_tiles(pos, count)
-
-    def run(union_u):
-        best_cam, best_loss, losses, _ = track_frame(
-            params, mcfg, rcfg, jnp.asarray(cam_init),
-            jax.random.PRNGKey(2),
-            jnp.asarray(color_img), jnp.asarray(depth_img),
-            jnp.asarray(rqm), jnp.asarray(rqm),
-            jnp.asarray(pool), jnp.int32(pool.size),
-            pos, count, geo, col, idx,
-            pos, count, geo, col, idx,
-            jnp.zeros(8),
-            pixels=200, iters_mid=2, iters_fine=2, W=W,
-            fx=fx, fy=fy, cx=cx, cy=cy, cam_lr=0.01, separate_lr=False,
-            use_exposure=False, w_color=0.5, use_color=True,
-            handle_dynamic=True, union_u=union_u)
-        return np.asarray(best_cam), np.asarray(losses)
-
-    cam_ref, loss_ref = run(0)
-    cam_uni, loss_uni = run(rcfg.N_surface * mcfg.nn_num)
-    # identical math, different accumulation order (einsum vs the custom
-    # weighted-gather VJP): forward and first-order updates must agree;
-    # longer trajectories diverge chaotically at float-rounding scale
-    np.testing.assert_allclose(loss_uni, loss_ref, rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(cam_uni, cam_ref, rtol=1e-3, atol=1e-4)
-
-
-@pytest.mark.slow
 def test_map_scan_ba_fused_moves_decoder(rng):
     """BA + fused trunks + opt_color_dec: the colour decoder must receive
     real gradients (regression for the dec_wgrads gating — BA uses

@@ -199,7 +199,7 @@ def test_knn_ray_segment_recall(rng):
 
     idx = K.build_tiles(jnp.asarray(pts), jnp.int32(count), tile=128)
     D, I = K.knn_ray(jnp.asarray(np.tile(o, (R, 1))), jnp.asarray(d),
-                     jnp.asarray(z), *idx, k=k, kc=32)
+                     jnp.asarray(z), *idx, k=k)
     D = np.asarray(D)
 
     tree = cKDTree(pts[:count])
@@ -219,7 +219,7 @@ def test_knn_ray_masks_invalid(rng):
     d = pts[:2]
     z = np.linspace(0.96, 1.04, 5, dtype=np.float32)[None, :].repeat(2, 0)
     D, I = K.knn_ray(jnp.asarray(o), jnp.asarray(d), jnp.asarray(z),
-                     *idx, k=8, kc=16)
+                     *idx, k=8)
     D, I = np.asarray(D), np.asarray(I)
     assert np.all(I.ravel() < 4)
     assert np.all(D[:, 4:] >= K.BIG)

@@ -63,7 +63,7 @@ def main():
     pool_j = jnp.asarray(pool)
 
     def run(tag, pixels=5000, iters=100, resample=2, use_exposure=True,
-            use_color=True, bf16=False, fused=False, union_u=0, pf=1,
+            use_color=True, bf16=False, fused=False, pf=1,
             dense=False, probe=16):
         mc = Dec.ModelConfig(encode_exposure=True,
                              encode_rel_pos_in_col=False, mm_bf16=bf16,
@@ -82,7 +82,7 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
                 use_exposure=use_exposure, w_color=0.5, use_color=use_color,
                 handle_dynamic=True, resample_stages=resample,
-                union_u=union_u, pool_factor=pf, dense_cache=dense,
+                pool_factor=pf, dense_cache=dense,
                 knn_probe=probe)
             jax.block_until_ready(out)
 
@@ -154,9 +154,6 @@ def main():
                                     iters=8)),
         ("bp old r4 p12", dict(resample=4, probe=12)),
         ("bp dense r1 p12", dict(resample=1, dense=True, probe=12)),
-        ("prod union16", dict(union_u=16)),
-        ("i102r1 union16", dict(iters=102, resample=1, union_u=16)),
-        ("i2r1 union16", dict(iters=2, resample=1, union_u=16)),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for tag, kw in variants:
