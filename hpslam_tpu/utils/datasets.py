@@ -293,6 +293,8 @@ class Synthetic(BaseReader):
         self._depth_quant = float(syn.get("depth_quant", 0.0))
         self._hole_frac = float(syn.get("depth_hole_frac", 0.0))
         self._expo_drift = float(syn.get("exposure_drift", 0.0))
+        self._chan_drift = float(syn.get("exposure_chan_drift", 0.0))
+        self._gamma_drift = float(syn.get("gamma_drift", 0.0))
         self._texture_poor = float(syn.get("texture_poor", 0.0))
         self._trajectory = str(syn.get("trajectory", "orbit"))
         self._seed = int(cfg.get("seed", 1219))
@@ -380,10 +382,27 @@ class Synthetic(BaseReader):
             gg = np.kron(g, np.ones((8, 8)))[:H, :W]
             thr = np.quantile(gg, self._hole_frac)
             depth = np.where(gg < thr, 0.0, depth).astype(np.float32)
-        if self._expo_drift > 0:
-            gain = 1.0 + self._expo_drift * np.sin(
-                2 * np.pi * index / max(self._n, 1) * 2.0)
-            color = np.clip(color * gain, 0.0, 1.0).astype(np.float32)
+        if self._expo_drift > 0 or self._chan_drift > 0 \
+                or self._gamma_drift > 0:
+            # exposure model the reference's per-frame 3x3 affine + bias
+            # (decoder.py:606-614) exists to absorb: global gain drift,
+            # PER-CHANNEL gain drift (white-balance wander; phase-shifted
+            # per channel so no scalar gain explains it), and a mild gamma
+            # drift (nonlinear — only approximable by the affine, which
+            # keeps the task honest).  The scalar drift alone measured too
+            # weak to separate exposure ON/OFF from the seed band
+            # (VERDICT r02 item 5 / QUALITY_MATRIX.json r02).
+            ph = 2 * np.pi * index / max(self._n, 1)
+            gain = 1.0 + self._expo_drift * np.sin(2.0 * ph)
+            cg = gain * np.ones(3)
+            if self._chan_drift > 0:
+                cg = cg * (1.0 + self._chan_drift
+                           * np.sin(2.0 * ph + np.array([0.0, 2.1, 4.2])))
+            color = color * cg.astype(np.float32)
+            if self._gamma_drift > 0:
+                gamma = 1.0 + self._gamma_drift * np.sin(3.0 * ph + 1.0)
+                color = np.power(np.clip(color, 0.0, None), gamma)
+            color = np.clip(color, 0.0, 1.0).astype(np.float32)
 
         e = self.crop_edge
         if e > 0:

@@ -4,9 +4,13 @@
 set -e
 OUT=${1:-output/Synthetic/synth_quality}
 python run.py configs/Synthetic/synth_quality.yaml --output "$OUT"
+# reference fusion protocol: voxel 5/512 m ~ 0.98 cm, sdf_trunc 0.04
+# (reference src/tools/get_mesh_tsdf_fusion.py:231-266) so the F@1cm row
+# is protocol-comparable (VERDICT r02 item 2); pass VOXEL=0.02 to also get
+# the coarse-voxel rows the older QUALITY.md tables used.
 python -m hpslam_tpu.tools.get_mesh_tsdf_fusion \
   configs/Synthetic/synth_quality.yaml --output "$OUT" \
-  --no_eval --voxel_size 0.02
+  --no_eval --voxel_size "${VOXEL:-0.009765625}"
 python -m hpslam_tpu.tools.make_synth_gt_mesh "$OUT/mesh/gt_mesh.ply" --res 60
 python -m hpslam_tpu.tools.cull_mesh configs/Synthetic/synth_quality.yaml \
   "$OUT/mesh/gt_mesh.ply" --output "$OUT" \

@@ -173,6 +173,8 @@ def test_knn_tiles_empty_cloud():
     assert np.all(np.asarray(I) == 0)
 
 
+@pytest.mark.slow  # knn_ray is a standalone (non-default) op; 16 s of the
+# fast tier's 60 s budget — knn_tiles/segmin recall stay fast-tier
 def test_knn_ray_segment_recall(rng):
     """Per-ray segment search (tracker fast path) vs exact per-sample kNN
     on a dense wall hit at oblique incidence — the case that defeats a

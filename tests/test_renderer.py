@@ -105,7 +105,18 @@ def test_dense_cache_equivalence(rng):
     """Tracker dense-cache path == gather path: same render outputs and the
     SAME pose-side gradients (gradients flow through the recomputed
     distances in both; the dense path merely hoists the frozen-neighbour
-    row gathers out of the loop)."""
+    row gathers out of the loop).  Fast tier covers the production
+    'color_fine' stage (both decoders); the geometry-only stage is the
+    slow-marked twin below (each stage costs ~18 s of CPU grad tracing)."""
+    _dense_cache_equivalence_check(rng, ["color_fine"])
+
+
+@pytest.mark.slow
+def test_dense_cache_equivalence_geometry(rng):
+    _dense_cache_equivalence_check(rng, ["geometry_mid"])
+
+
+def _dense_cache_equivalence_check(rng, stages):
     from hpslam_tpu.ops import knn as K
 
     mcfg = Dec.ModelConfig(c_dim=8, geo_embed=16, col_embed=8, rel_embed=4,
@@ -146,7 +157,7 @@ def test_dense_cache_equivalence(rng):
             dense_cache=dense)
         return d, u, c, vm
 
-    for stage in ["color_fine", "geometry_mid"]:
+    for stage in stages:
         ref = render(0.0, False, stage)
         new = render(0.0, True, stage)
         for a, b in zip(ref, new):
