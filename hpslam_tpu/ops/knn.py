@@ -209,6 +209,17 @@ def topk_extract(d2: jnp.ndarray, k: int):
     return jnp.stack(Ds, -1), jnp.stack(Is, -1)
 
 
+def topk_candidates(d2: jnp.ndarray, k: int):
+    """Final candidate top-k.  A two-stage form (raw PartialReduce over the
+    (q, probe*tile) rows + narrow argmin passes, the _select_tiles trick)
+    was built and MEASURED NEGATIVE at the tracking operating point:
+    48.4-50.9 ms vs 43.0-43.3 ms exact per 25k-query search AND k=8 recall
+    0.994 -> 0.980 (tools_profile_knn3 A/B on TPU v5e) — the PartialReduce
+    materialisation + index re-gather costs more than the ~4x narrower
+    argmin passes save at this row width.  Exact passes it is."""
+    return topk_extract(d2, k)
+
+
 def _select_tiles(lb2: jnp.ndarray, probe: int) -> jnp.ndarray:
     """Top-``probe`` tile ids by lower bound, (q, T) -> (q, probe) int32.
 
@@ -242,10 +253,28 @@ def _spread_bits(x):
 def build_tiles(points: jnp.ndarray, count: jnp.ndarray, tile: int = 128):
     """Build the tile index.
 
-    Returns (sorted_pos (N_cap, 3) — invalid rows pushed to the end and set
-    to a far sentinel; perm (N_cap,) original row ids; centroids (T, 3);
-    radii (T,)).  N_cap must be a multiple of ``tile`` (capacities are
-    powers of two).
+    Returns a 3-tuple consumed positionally by knn_tiles / knn_ray:
+      packed   (T, 4*tile) f32 — per tile row: [x*tile | y*tile | z*tile |
+               bitcast(original row ids)].  ONE row gather per probed tile
+               feeds the exact-distance stage (coordinate-split tables cost
+               4 row gathers per tile — gathers price per ROW on TPU, the
+               dominant cost of the candidate stage).
+      tile_lo, tile_hi (3, T) — per-tile AABBs (tight lower bounds even
+               for elongated Morton tiles; bounding spheres lose ~4%
+               recall on wall-like clouds).  Coordinate-major so the hot
+               (Q, T) elementwise ops stay well-lane-tiled.
+
+    A two-level (super-tile) prune was built and MEASURED SLOWER on v5e
+    despite ~6x less bound arithmetic: its extra narrow select (12 argmin
+    passes over (Q, 128)) and bound gather cost ~3.5 ms/chunk of
+    sequential small-op latency, vs ~1 ms for the dense (Q, 4096) bound
+    pass they replaced — the one-level prune is bandwidth-cheap and
+    latency-lean.  (The 27 ms/chunk that motivated the hierarchy was
+    tunnelled-dispatch latency polluting the standalone microbench, not
+    device work.)
+
+    N_cap must be a multiple of ``tile`` (capacities are powers of two);
+    invalid rows are pushed to the end and set to a far sentinel.
     """
     N_cap = points.shape[0]
     assert N_cap % tile == 0, "capacity must be a multiple of tile"
@@ -265,38 +294,37 @@ def build_tiles(points: jnp.ndarray, count: jnp.ndarray, tile: int = 128):
     sorted_valid = perm < count
     sorted_pos = jnp.where(sorted_valid[:, None], sorted_pos, 1e6)
 
-    # per-tile AABBs (tight lower bounds even for elongated Morton tiles;
-    # bounding spheres lose ~4% recall on wall-like clouds).  Everything is
-    # stored SoA / coordinate-major: (3, ...) leading axes keep the hot
-    # elementwise ops on well-lane-tiled (Q, T) shapes instead of a
-    # trailing length-3 axis the VPU can't tile.
-    tp = sorted_pos.reshape(-1, tile, 3)
-    tv = sorted_valid.reshape(-1, tile)
-    tlo = jnp.min(jnp.where(tv[..., None], tp, 1e6), axis=1).T  # (3, T)
-    thi = jnp.max(jnp.where(tv[..., None], tp, -1e6), axis=1).T  # (3, T)
-    pos_tiles = jnp.moveaxis(tp, -1, 0).reshape(3, -1, tile)  # (3, T, tile)
-    return pos_tiles, perm, tlo, thi
+    T = N_cap // tile
+    tp = sorted_pos.reshape(T, tile, 3)
+    tv = sorted_valid.reshape(T, tile)
+    tlo = jnp.min(jnp.where(tv[..., None], tp, 1e6), axis=1)   # (T, 3)
+    thi = jnp.max(jnp.where(tv[..., None], tp, -1e6), axis=1)  # (T, 3)
+    packed = jnp.concatenate(
+        [jnp.moveaxis(tp, -1, 1).reshape(T, 3 * tile),
+         jax.lax.bitcast_convert_type(perm.reshape(T, tile), jnp.float32)],
+        axis=1)
+    return packed, tlo.T, thi.T
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "probe", "q_chunk"))
-def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
+def knn_tiles(query: jnp.ndarray, packed: jnp.ndarray,
               tile_lo: jnp.ndarray, tile_hi: jnp.ndarray,
               k: int = 8, tile: int = 128, probe: int = 16,
               q_chunk: int = 4096):
     """kNN via the tile index: prune to the ``probe`` tiles with the
     smallest AABB lower bound, exact squared distances on their candidates,
-    top-k merge.  Recall vs exact is ~0.996 at probe=16 on wall-like clouds
-    (tests/test_knn.py, KDTree oracle).
+    top-k merge.  Recall vs exact is ~0.994/0.998 at probe=12/16 on
+    wall-like clouds (tests/test_knn.py, KDTree oracle).
 
     ``tile`` is derived from the index shapes — whatever tile size
     build_tiles used wins (the state.NeuralPointCloud index caps the tile
-    COUNT at 4096 so recall does not degrade as the cloud grows; at a
-    fixed candidate budget, fewer/bigger tiles measured both faster —
-    contiguous gathers — and higher-recall on adversarial wall clouds:
-    tile=512 1nn 0.9995 vs tile=128 0.9888 at 2^21 pts, probe=16).
+    COUNT at 4096 so the bound pass does not grow as the cloud grows; at a
+    fixed candidate budget, bigger tiles measured much LOWER recall —
+    tile=512/probe=3 0.70 vs tile=128/probe=12 0.994 on the 300k wall —
+    so the cap trades bound-pass width only when forced by scale).
     """
-    tile = pos_tiles.shape[2]
+    tile = packed.shape[1] // 4
     Q = query.shape[0]
     q_chunk = min(q_chunk, max(Q, 1))
     num_q = -(-Q // q_chunk)
@@ -306,14 +334,13 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
 
     T = tile_lo.shape[1]
     probe = min(probe, T)
-    perm_tiles = perm.reshape(T, tile)
 
     def one_chunk(q):  # (qc, 3)
         qc = q.shape[0]
         # squared AABB lower bound per tile — exact f32, per-coordinate on
         # (qc, T) shapes (a centroid matmul here hits catastrophic bf16
-        # cancellation: the |q|^2 terms dwarf the cm-scale differences that
-        # order the tiles)
+        # cancellation: the |q|^2 terms dwarf the cm-scale differences
+        # that order the tiles)
         lb2 = 0.0
         for c in range(3):
             d = jnp.maximum(jnp.maximum(tile_lo[c][None] - q[:, c:c + 1],
@@ -321,26 +348,38 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
                             0.0)
             lb2 = lb2 + d * d
         tsel = _select_tiles(lb2, probe)
-        # contiguous whole-tile gathers (rows of ``tile`` floats per
-        # coordinate), not per-point row gathers — the difference between
-        # ~50 and ~500 ms
+        # ONE packed whole-tile row gather per probed tile (coords + ids);
+        # per-point row gathers are the difference between ~50 and ~500 ms,
+        # and a packed row costs the same as a coordinate row
+        crow = packed[tsel]                              # (qc, probe, 4*tile)
         d2 = 0.0
         for c in range(3):
-            cpos = pos_tiles[c][tsel].reshape(qc, probe * tile)
+            cpos = crow[:, :, c * tile:(c + 1) * tile].reshape(
+                qc, probe * tile)
             d2 = d2 + jnp.square(q[:, c:c + 1] - cpos)
-        cidx = perm_tiles[tsel].reshape(qc, probe * tile)
-        Dk, sel = topk_extract(d2, k)
+        cidx = jax.lax.bitcast_convert_type(
+            crow[:, :, 3 * tile:], jnp.int32).reshape(qc, probe * tile)
+        Dk, sel = topk_candidates(d2, k)
         Ik = jnp.take_along_axis(cidx, sel, axis=1)
         return Dk, Ik
 
     if num_q == 1:
-        # single-chunk fast path: no lax.map wrapper, so a dp-sharded
+        # single-chunk fast path: no chunk-loop wrapper, so a dp-sharded
         # query batch keeps its sharding through the whole search (the
         # sequential chunk loop exists only to bound single-chip memory)
         D, I = one_chunk(query)
     else:
+        # UNROLLED chunk loop, not lax.map: XLA overlaps/pipelines the
+        # independent chunk programs where lax.map forces a sequential
+        # while-loop with per-step dynamic slicing — measured 14.7 vs
+        # 18.2 ms per 25k-query tracking search on v5e
+        # (tools_profile_knn3 A/B); compile cost grows by num_q copies
+        # of the chunk body, bounded since q_chunk fixes num_q <= ~8 at
+        # product operating points.
         qs_ = query.reshape(num_q, q_chunk, 3)
-        D, I = jax.lax.map(one_chunk, qs_)
+        outs = [one_chunk(qs_[c]) for c in range(num_q)]
+        D = jnp.concatenate([o[0] for o in outs])
+        I = jnp.concatenate([o[1] for o in outs])
     D = D.reshape(-1, k)[:Q]
     I = I.reshape(-1, k)[:Q]
     # far-sentinel rows (invalid points) surface as huge distances
@@ -351,7 +390,7 @@ def knn_tiles(query: jnp.ndarray, pos_tiles: jnp.ndarray, perm: jnp.ndarray,
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile", "probe", "r_chunk"))
 def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
-            pos_tiles: jnp.ndarray, perm: jnp.ndarray,
+            packed: jnp.ndarray,
             tile_lo: jnp.ndarray, tile_hi: jnp.ndarray,
             k: int = 8, tile: int = 128, probe: int = 32,
             r_chunk: int = 4096):
@@ -376,7 +415,7 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
       rays_d: (R, 3) ray directions (need not be unit norm; ``z`` is in
         units of ``rays_d``, matching geometry.get_rays_from_uv).
       z:      (R, S) ascending sample depths along each ray.
-      pos_tiles/perm/tile_lo/tile_hi: build_tiles() index.
+      packed/tile_lo/tile_hi: build_tiles() index.
       k:      neighbours per sample.
       probe:  tiles probed per ray.
 
@@ -386,8 +425,7 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
     R, S = z.shape
     T = tile_lo.shape[1]
     probe = min(probe, T)
-    tile = pos_tiles.shape[2]  # index's tile size wins (see knn_tiles)
-    perm_tiles = perm.reshape(T, tile)
+    tile = packed.shape[1] // 4  # index's tile size wins (see knn_tiles)
 
     r_chunk = min(r_chunk, max(R, 1))
     num_r = -(-R // r_chunk)
@@ -416,10 +454,13 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
                 b = b + dd * dd
             lb2 = jnp.minimum(lb2, b)
         tsel = _select_tiles(lb2, probe)
-        # ---- whole-tile candidate gather, once per ray
-        cpos = [pos_tiles[c][tsel].reshape(rc, probe * tile)
-                for c in range(3)]
-        cidx = perm_tiles[tsel].reshape(rc, probe * tile)
+        # ---- whole-tile candidate gather, once per ray (packed rows:
+        # one gather for coords + ids, see knn_tiles)
+        crow = packed[tsel]  # (rc, probe, 4*tile)
+        cpos = [crow[:, :, c * tile:(c + 1) * tile].reshape(
+            rc, probe * tile) for c in range(3)]
+        cidx = jax.lax.bitcast_convert_type(
+            crow[:, :, 3 * tile:], jnp.int32).reshape(rc, probe * tile)
         # ---- exact PER-SAMPLE distances to the shared probed candidates
         # and per-sample top-k (f32 elementwise; a matmul here would hit
         # bf16 cancellation at radius^2 scales, see knn())

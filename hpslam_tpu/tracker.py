@@ -37,7 +37,7 @@ from .renderer import RenderConfig, render_rays
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
                      "resample_stages", "knn_probe",
                      "mesh", "pool_factor", "fused_track",
-                     "dense_cache"))
+                     "dense_cache", "batch_search"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -52,7 +52,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 resample_stages: int = 1,
                 knn_probe: int = 16, mesh=None,
                 pool_factor: int = 1, fused_track: bool = False,
-                dense_cache: bool = True):
+                dense_cache: bool = True, batch_search: bool = False):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -129,6 +129,20 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         return cam, pr, expo
 
     n_draw = pixels * max(pool_factor, 1)
+    # batched sub-stage search only covers the plain single-chip path
+    # (pool/fused paths manage their own caches; on a mesh the static
+    # sub-chunk slices of a dp-sharded cache would reshard)
+    batch_search = (batch_search and mesh is None and pool_factor <= 1
+                    and not fused_track)
+
+    def stage_inputs_n(k, r_query_map, R):
+        """All R sub-chunks' pixel sets in ONE draw (run_stage
+        batch_search); sub-chunk s reads rows [s*pixels, (s+1)*pixels)."""
+        idx = pool[jax.random.randint(k, (R * pixels,), 0, pool_len)]
+        i = (idx % W).astype(jnp.float32)
+        j = (idx // W).astype(jnp.float32)
+        ji = (idx // W, idx % W)
+        return (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
 
     def stage_inputs(k, r_query_map):
         """Per-stage pixel set (the reference resamples every iteration,
@@ -375,20 +389,49 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     def run_stage(carry, stage, level_arrays, tile_index, r_query_map, k,
                   iters, cat_feats):
         """One coarse/fine stage, split into ``resample_stages`` sub-chunks
-        with fresh pixel sets + neighbour searches each.  resample_stages=1
-        is the production default (one frozen set per stage); higher values
-        approximate the reference's per-iteration resampling
-        (Tracker.py:128-168) — kept as an ablation knob."""
+        with fresh pixel sets + neighbour searches each — approximating the
+        reference's per-iteration resampling (Tracker.py:128-168) at
+        sub-stage granularity (resample_stages=4 is the production
+        default, ABLATIONS.md).
+
+        batch_search (default OFF): all sub-chunks' pixel sets are drawn
+        up-front and searched in ONE batched neighbour search at the
+        STAGE-ENTRY pose; each sub-chunk's scan then reads a static slice
+        of the batched cache.  Built expecting to collapse per-sub-chunk
+        fixed costs, but MEASURED E2E-NEUTRAL on TPU v5e (bench.py
+        same-session A/B, 2026-08-20: 789.75 ms/frame unbatched vs 799.33
+        batched) — all sub-stage searches already trace into this one
+        jitted program, so there are no dispatch boundaries to collapse
+        and total query rows are identical.  The unbatched default keeps
+        the evolved-pose (fresher) neighbour sets at equal cost; the knob
+        remains for dp meshes where one large sharded search can use the
+        devices better than four smaller ones."""
         losses = []
+        R = max(resample_stages, 1)
+        batched = batch_search and R > 1 and pool_factor <= 1 \
+            and not fused_track
+        all_inputs = all_cache = None
+        if batched:
+            all_inputs = stage_inputs_n(jax.random.fold_in(k, 77),
+                                        r_query_map, R)
+            all_cache = stage_knn(all_inputs, tile_index, level_arrays[0],
+                                  cat_feats, current_cam(carry),
+                                  rcfg.N_surface)
         for s in range(resample_stages):
             sub = iters // resample_stages + (
                 1 if s < iters % resample_stages else 0)
             if sub == 0:
                 continue
-            inputs = stage_inputs(jax.random.fold_in(k, s), r_query_map)
-            cache = stage_knn(inputs, tile_index, level_arrays[0],
-                              cat_feats, current_cam(carry),
-                              rcfg.N_surface)
+            if batched:
+                rs = slice(s * pixels, (s + 1) * pixels)
+                ss = slice(s * pixels * S_pts, (s + 1) * pixels * S_pts)
+                inputs = tuple(a[rs] for a in all_inputs)
+                cache = tuple(c[ss] for c in all_cache)
+            else:
+                inputs = stage_inputs(jax.random.fold_in(k, s), r_query_map)
+                cache = stage_knn(inputs, tile_index, level_arrays[0],
+                                  cat_feats, current_cam(carry),
+                                  rcfg.N_surface)
             # per-sub-stage 'inside' threshold (see loss_fn)
             d_gt_stage = inputs[2]
             inside_thresh = jnp.minimum(10.0 * jnp.median(d_gt_stage),
@@ -464,6 +507,10 @@ class Tracker:
         # ms/iter at the ScanNet operating point (the mapper KEEPS unions:
         # its weights are frozen per stage, where they measure positive).
         self.dense_cache = bool(t.get("dense_cache", True))
+        # one batched neighbour search per stage at the stage-entry pose
+        # instead of one per resample sub-chunk; measured e2e-neutral on
+        # TPU, default OFF for pose freshness (see track_frame.run_stage)
+        self.batch_search = bool(t.get("batched_substage_search", False))
         # fused tracker iteration kernel ('auto' -> on-TPU only; the
         # Pallas kernels interpret off-TPU).  Falls back to the XLA path
         # whenever an unsupported variant knob is active (see
@@ -583,7 +630,8 @@ class Tracker:
             mesh=getattr(slam, "mesh", None),
             pool_factor=self.pool_factor,
             fused_track=self._fused_ok(slam),
-            dense_cache=self.dense_cache)
+            dense_cache=self.dense_cache,
+            batch_search=self.batch_search)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

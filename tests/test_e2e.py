@@ -151,10 +151,20 @@ def test_quality_gate_noisy_synthetic(tmp_path):
     the Kinect-like sensor model (multiplicative depth noise +
     quantisation + blob holes + exposure drift + a texture-poor wall,
     configs/Synthetic/synth_noisy.yaml semantics) with exposure modelling
-    ON must stay under an ATE ceiling.  Calibrated at this tiny CPU
-    budget: measured 0.126 m; the ceiling 0.30 m trips on gross
-    regressions of the robust masks / dynamic radii / exposure path while
-    riding out the fixture's noise band."""
+    ON must stay under an ATE ceiling, and the TSDF mesh fused from the
+    run (native TSDF + marching tetrahedra + re-rendered depth — the full
+    mesher path) must stay under accuracy/completion ceilings vs the
+    culled GT box mesh, so recon regressions (renderer, TSDF, mesher
+    drift) trip CI too (VERDICT r02 item 7).
+
+    Ceilings calibrated at this tiny CPU budget (tools_calib_meshgate.py,
+    this fixture exactly): ATE measured 0.08-0.13 m across sessions ->
+    gate 0.20 m.  Mesh at voxel 5 cm: accuracy 29.7 cm / completion
+    15.2 cm / F@5cm 0.145 (the 8 cm pose error plus 10-iteration maps
+    dominate; culling variants move acc by <1 cm) -> gates 50 cm /
+    30 cm / >0.06.  Loose in absolute terms, but a broken mesher,
+    renderer drift, or TSDF regression lands far outside them (an empty
+    or junk mesh scores acc >1 m and F ~0)."""
     from hpslam_tpu.slam import PointSLAM
 
     cfg = tiny_cfg(tmp_path)
@@ -167,4 +177,28 @@ def test_quality_gate_noisy_synthetic(tmp_path):
     assert results is not None
     rmse = results["absolute_translational_error.rmse"]
     assert np.isfinite(rmse)
-    assert rmse < 0.30, f"noisy-synthetic ATE gate tripped: {rmse:.3f} m"
+    assert rmse < 0.20, f"noisy-synthetic ATE gate tripped: {rmse:.3f} m"
+
+    # ---- mesh gate: fuse the estimated trajectory through the real
+    # mesher (re-rendered depth, native TSDF, marching tetrahedra) and
+    # compare against the culled GT box mesh
+    from hpslam_tpu.tools.cull_mesh import cull
+    from hpslam_tpu.tools.eval_recon import recon_metrics, sample_surface
+    from hpslam_tpu.tools.get_mesh_tsdf_fusion import fuse_trajectory
+    from hpslam_tpu.tools.make_synth_gt_mesh import box_mesh
+
+    verts, _cols, faces = fuse_trajectory(
+        slam, slam.params, slam.npc, slam.frame_reader,
+        slam.estimate_c2w_list, slam.n_img, render_every=5,
+        voxel_size=0.05, sdf_trunc=0.2, verbose=False)
+    assert len(verts) > 0 and len(faces) > 0, "mesher produced empty mesh"
+    gt_v, gt_f = box_mesh(res=40)
+    gt_f = cull(gt_v, gt_f, slam.estimate_c2w_list,
+                slam.H, slam.W, slam.fx, slam.fy, slam.cx, slam.cy)
+    rng = np.random.default_rng(0)
+    m = recon_metrics(sample_surface(verts, faces, 20000, rng),
+                      sample_surface(gt_v, gt_f, 20000, rng),
+                      fscore_thresh=0.05)
+    assert m["accuracy_cm"] < 50.0, f"mesh accuracy gate: {m}"
+    assert m["completion_cm"] < 30.0, f"mesh completion gate: {m}"
+    assert m["fscore"] > 0.06, f"mesh F@5cm gate: {m}"

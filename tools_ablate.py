@@ -21,7 +21,7 @@ import sys
 import time
 
 
-def run_variant(name: str, overrides: dict):
+def run_variant(name: str, overrides: dict, seed: int | None = None):
     from hpslam_tpu import config as C
     from hpslam_tpu.slam import PointSLAM
 
@@ -35,6 +35,9 @@ def run_variant(name: str, overrides: dict):
         for k in ks[:-1]:
             node = node.setdefault(k, {})
         node[ks[-1]] = v
+    if seed is not None:
+        cfg["seed"] = seed
+        name = f"{name}_s{seed}"
     cfg["data"]["output"] = f"output/Synthetic/ablate_{name}"
     cfg["verbose"] = False
     t0 = time.perf_counter()
@@ -52,9 +55,18 @@ def run_variant(name: str, overrides: dict):
 
 def main():
     variants = [
+        # NOTE "baseline" = the current product defaults (resample4 +
+        # per-sub-chunk searches + dense cache + union8 + probe12)
         ("baseline", {}),
+        ("resample1", {"tracking.resample_stages": 1}),
         ("resample2", {"tracking.resample_stages": 2}),
         ("resample4", {"tracking.resample_stages": 4}),
+        # ONE stage-entry-pose batched search vs the default per-sub-chunk
+        # searches at the evolved pose (perf-neutral on TPU; this row
+        # bounds the QUALITY cost of the staler-pose caches — relevant
+        # for dp meshes where the batched form is preferable)
+        ("batchknn_on", {"tracking.batched_substage_search": True}),
+        ("probe16", {"tracking.knn_probe": 16, "mapping.knn_probe": 16}),
         ("cacheP500", {"mapping.pixels_knn_cache": 500}),
         ("cacheP8000", {"mapping.pixels_knn_cache": 8000}),
         ("union8", {"mapping.union_size": 8}),
@@ -94,14 +106,27 @@ def main():
                            "model.fused_mlp": False,
                            "model.mm_bf16": False}),
     ]
-    only = sys.argv[1:] if len(sys.argv) > 1 else None
+    args = sys.argv[1:]
+    seeds = [None]
+    if args and args[0].startswith("--seeds="):
+        # multi-seed bands (VERDICT r02 item 3): each selected variant runs
+        # once per seed; rows are tagged variant_sSEED and JSONL-logged to
+        # ABLATION_SEEDS.jsonl for the band tables
+        seeds = [int(s) for s in args[0].split("=", 1)[1].split(",")]
+        args = args[1:]
+    only = args if args else None
     rows = []
     for name, ov in variants:
         if only and name not in only:
             continue
-        print(f"=== {name}", flush=True)
-        rows.append(run_variant(name, ov))
-        print(json.dumps(rows[-1]), flush=True)
+        for seed in seeds:
+            tag = name if seed is None else f"{name}_s{seed}"
+            print(f"=== {tag}", flush=True)
+            rows.append(run_variant(name, ov, seed=seed))
+            print(json.dumps(rows[-1]), flush=True)
+            if seed is not None:
+                with open("ABLATION_SEEDS.jsonl", "a") as f:
+                    f.write(json.dumps(rows[-1]) + "\n")
 
     mode = "a" if only else "w"
     with open("ABLATIONS.md", mode) as f:

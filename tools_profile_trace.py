@@ -172,7 +172,9 @@ def main():
             pixels=5000, iters_mid=20, iters_fine=20,
             W=W, fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4,
             separate_lr=False, use_exposure=True, w_color=0.5,
-            use_color=True, handle_dynamic=True, resample_stages=1,
+            use_color=True, handle_dynamic=True,
+            resample_stages=int(os.environ.get("TRACE_RESAMPLE", "4")),
+            batch_search=os.environ.get("TRACE_BATCH", "0") == "1",
             knn_probe=12)
 
     out = go_track(jax.random.PRNGKey(0))
@@ -182,7 +184,7 @@ def main():
     with jax.profiler.trace(trace_dir):
         out = go_track(jax.random.PRNGKey(1))
         _ = float(jnp.sum(out[0]))
-    print("== track_frame 40 iters resample=1 (divide by 40)")
+    print("== track_frame 40 iters (divide by 40); resample=%s batch=%s" % (os.environ.get("TRACE_RESAMPLE", "4"), os.environ.get("TRACE_BATCH", "0")))
     summarize(trace_dir)
 
 

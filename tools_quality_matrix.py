@@ -81,35 +81,46 @@ def main():
         fi = args.index("--frames")
         frames = int(args[fi + 1])
         del args[fi:fi + 2]
+    seeds = [None]
+    if "--seeds" in args:
+        # multi-seed bands (VERDICT r02 items 3/5): every selected variant
+        # runs once per seed, rows tagged variant_sSEED
+        si = args.index("--seeds")
+        seeds = [int(s) for s in args[si + 1].split(",")]
+        del args[si:si + 2]
     only = [a for a in args if not a.startswith("--")] or None
     rows = []
-    for name, base, ov in VARIANTS:
-        if only and name not in only:
+    for vname, base, ov in VARIANTS:
+        if only and vname not in only:
             continue
-        print(f"=== {name}", flush=True)
-        cfg = C.load_config(base)
-        if tiny:
-            cfg = shrink_tiny(cfg, n_frames=frames)
-            name = name + "_tiny"
-        deep_set(cfg, "data.output", f"output/quality_matrix/{name}")
-        deep_set(cfg, "verbose", False)
-        for k, v in ov.items():
-            deep_set(cfg, k, v)
-        t0 = time.time()
-        slam = PointSLAM(cfg)
-        results, _ = slam.run()
-        wall = time.time() - t0
-        rmse = (float(results["absolute_translational_error.rmse"])
-                if results else float("nan"))
-        row = {"variant": name, "ate_rmse_cm": round(rmse * 100, 2),
-               "wall_s": round(wall, 1)}
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+        # seed loop innermost so later seeds reuse the compile cache
+        for seed in seeds:
+            name = vname if seed is None else f"{vname}_s{seed}"
+            print(f"=== {name}", flush=True)
+            cfg = C.load_config(base)
+            if tiny:
+                cfg = shrink_tiny(cfg, n_frames=frames)
+                name = name + "_tiny"
+            if seed is not None:
+                cfg["seed"] = seed
+            deep_set(cfg, "data.output", f"output/quality_matrix/{name}")
+            deep_set(cfg, "verbose", False)
+            for k, v in ov.items():
+                deep_set(cfg, k, v)
+            t0 = time.time()
+            slam = PointSLAM(cfg)
+            results, _ = slam.run()
+            wall = time.time() - t0
+            rmse = (float(results["absolute_translational_error.rmse"])
+                    if results else float("nan"))
+            row = {"variant": name, "ate_rmse_cm": round(rmse * 100, 2),
+                   "wall_s": round(wall, 1)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            with open("QUALITY_MATRIX.json", "a") as f:
+                f.write(json.dumps(row) + "\n")
 
     if rows:
-        with open("QUALITY_MATRIX.json", "a") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
         print("appended", len(rows), "rows to QUALITY_MATRIX.json")
 
 
