@@ -36,6 +36,7 @@ import numpy as np
 
 from .models import decoder as Dec
 from .ops import geometry as G
+from .ops import knn as Knn_ids
 from .ops import image as IM
 from .ops import optim as Opt
 from .ops import sampling as S
@@ -288,6 +289,8 @@ def pack_union_cache(const, Wm, pmask, uids):
     the eight separate table gathers it replaces were pure per-op launch
     latency (the iteration is op-count bound, see ops/fused_mlp.py).
     Call AFTER compact_scene so the packed uids are compact-table rows.
+    ids are VALUE-encoded into f32 (ops/knn.pack_ids), never bitcast —
+    bitcast ids are denormal patterns that SPMD resharding flushes to 0.
     """
     FP, S = const["z"].shape
     u = uids.shape[-1]
@@ -299,7 +302,7 @@ def pack_union_cache(const, Wm, pmask, uids):
         const["c_gt"],
         pmask.reshape(FP, S).astype(jnp.float32),
         Wm.reshape(FP, S * u),
-        jax.lax.bitcast_convert_type(uids.reshape(FP, u), jnp.float32),
+        Knn_ids.pack_ids(uids.reshape(FP, u)),
     ], axis=1)
 
 
@@ -475,7 +478,7 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             c_gt = row[:, o:o + 3]; o += 3
             pm = row[:, o:o + S_] > 0.5; o += S_
             Wm = row[:, o:o + S_ * u].reshape(-1, S_, u); o += S_ * u
-            uids = jax.lax.bitcast_convert_type(row[:, o:o + u], jnp.int32)
+            uids = Knn_ids.unpack_ids(row[:, o:o + u])
             return fid, rays_d, d_gt, c_gt, z, pts, (uids, Wm, pm), row
         idx = cache_pix[fid, slot]
         i = (idx % W).astype(jnp.float32)

@@ -28,6 +28,11 @@ import jax.numpy as jnp
 
 BIG = 1e10
 
+# knn_tiles chunk-loop unroll bound: above this many chunks the HLO-size
+# cost of unrolling outweighs the pipelining win and lax.map is used
+# (ADVICE r03: the mapper's 200k-query cache builds hit ~49 copies).
+_UNROLL_MAX_CHUNKS = 8
+
 
 @functools.partial(jax.jit, static_argnames=("k", "q_chunk", "n_tile"))
 def knn(query: jnp.ndarray, points: jnp.ndarray, count: jnp.ndarray,
@@ -240,6 +245,27 @@ def _select_tiles(lb2: jnp.ndarray, probe: int) -> jnp.ndarray:
     return tsel.astype(jnp.int32)
 
 
+def pack_ids(ids: jnp.ndarray) -> jnp.ndarray:
+    """Encode int32 row ids into f32 storage EXACTLY (ids < 2^24).
+
+    Integer VALUES, not a bitcast: small ints bitcast to f32 are denormal
+    bit patterns, and any op that flushes denormals (TPU VPU ops do; XLA's
+    SPMD partitioner inserts such ops when resharding on every backend)
+    silently zeroes every id.  Measured: the dp2+ union-cache path lost
+    ALL neighbour ids through ``bitcast_convert_type`` (round-4 root cause
+    of test_production_map_scan_union_mesh_equivalence's 0.5% loss
+    divergence).  f32 holds integers <= 2^24 exactly, far above any point
+    capacity here (2^22 max), so value-encoding is lossless and immune.
+    """
+    assert ids.dtype in (jnp.int32, jnp.uint32)
+    return ids.astype(jnp.float32)
+
+
+def unpack_ids(x: jnp.ndarray) -> jnp.ndarray:
+    """Decode ids stored by pack_ids (round guards resharding epsilon)."""
+    return jnp.round(x).astype(jnp.int32)
+
+
 def _spread_bits(x):
     """Interleave-ready 10-bit spread (classic Morton bit twiddling)."""
     x = (x | (x << 16)) & jnp.uint32(0x030000FF)
@@ -255,7 +281,7 @@ def build_tiles(points: jnp.ndarray, count: jnp.ndarray, tile: int = 128):
 
     Returns a 3-tuple consumed positionally by knn_tiles / knn_ray:
       packed   (T, 4*tile) f32 — per tile row: [x*tile | y*tile | z*tile |
-               bitcast(original row ids)].  ONE row gather per probed tile
+               pack_ids(original row ids)].  ONE row gather per probed tile
                feeds the exact-distance stage (coordinate-split tables cost
                4 row gathers per tile — gathers price per ROW on TPU, the
                dominant cost of the candidate stage).
@@ -299,9 +325,10 @@ def build_tiles(points: jnp.ndarray, count: jnp.ndarray, tile: int = 128):
     tv = sorted_valid.reshape(T, tile)
     tlo = jnp.min(jnp.where(tv[..., None], tp, 1e6), axis=1)   # (T, 3)
     thi = jnp.max(jnp.where(tv[..., None], tp, -1e6), axis=1)  # (T, 3)
+    assert N_cap < (1 << 24), "pack_ids requires capacity < 2^24"
     packed = jnp.concatenate(
         [jnp.moveaxis(tp, -1, 1).reshape(T, 3 * tile),
-         jax.lax.bitcast_convert_type(perm.reshape(T, tile), jnp.float32)],
+         pack_ids(perm.reshape(T, tile))],
         axis=1)
     return packed, tlo.T, thi.T
 
@@ -357,8 +384,7 @@ def knn_tiles(query: jnp.ndarray, packed: jnp.ndarray,
             cpos = crow[:, :, c * tile:(c + 1) * tile].reshape(
                 qc, probe * tile)
             d2 = d2 + jnp.square(q[:, c:c + 1] - cpos)
-        cidx = jax.lax.bitcast_convert_type(
-            crow[:, :, 3 * tile:], jnp.int32).reshape(qc, probe * tile)
+        cidx = unpack_ids(crow[:, :, 3 * tile:]).reshape(qc, probe * tile)
         Dk, sel = topk_candidates(d2, k)
         Ik = jnp.take_along_axis(cidx, sel, axis=1)
         return Dk, Ik
@@ -368,18 +394,23 @@ def knn_tiles(query: jnp.ndarray, packed: jnp.ndarray,
         # query batch keeps its sharding through the whole search (the
         # sequential chunk loop exists only to bound single-chip memory)
         D, I = one_chunk(query)
-    else:
+    elif num_q <= _UNROLL_MAX_CHUNKS:
         # UNROLLED chunk loop, not lax.map: XLA overlaps/pipelines the
         # independent chunk programs where lax.map forces a sequential
         # while-loop with per-step dynamic slicing — measured 14.7 vs
         # 18.2 ms per 25k-query tracking search on v5e
-        # (tools_profile_knn3 A/B); compile cost grows by num_q copies
-        # of the chunk body, bounded since q_chunk fixes num_q <= ~8 at
-        # product operating points.
+        # (tools_profile_knn3 A/B).  Compile cost grows by num_q copies
+        # of the chunk body, so the unroll is CAPPED: the tracker's
+        # 25k-query searches unroll (<= 7 copies), while the mapper's
+        # big cache builds (200k+ queries at default q_chunk -> ~49
+        # copies, an HLO/compile blowup) take the lax.map path below.
         qs_ = query.reshape(num_q, q_chunk, 3)
         outs = [one_chunk(qs_[c]) for c in range(num_q)]
         D = jnp.concatenate([o[0] for o in outs])
         I = jnp.concatenate([o[1] for o in outs])
+    else:
+        qs_ = query.reshape(num_q, q_chunk, 3)
+        D, I = jax.lax.map(one_chunk, qs_)
     D = D.reshape(-1, k)[:Q]
     I = I.reshape(-1, k)[:Q]
     # far-sentinel rows (invalid points) surface as huge distances
@@ -459,8 +490,7 @@ def knn_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z: jnp.ndarray,
         crow = packed[tsel]  # (rc, probe, 4*tile)
         cpos = [crow[:, :, c * tile:(c + 1) * tile].reshape(
             rc, probe * tile) for c in range(3)]
-        cidx = jax.lax.bitcast_convert_type(
-            crow[:, :, 3 * tile:], jnp.int32).reshape(rc, probe * tile)
+        cidx = unpack_ids(crow[:, :, 3 * tile:]).reshape(rc, probe * tile)
         # ---- exact PER-SAMPLE distances to the shared probed candidates
         # and per-sample top-k (f32 elementwise; a matmul here would hit
         # bf16 cancellation at radius^2 scales, see knn())

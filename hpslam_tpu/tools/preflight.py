@@ -32,10 +32,35 @@ import sys
 
 import numpy as np
 
-# driver-recorded per-frame wall-clock at the ScanNet operating point
-# (BENCH_r02.json; update when the headline moves)
+# driver-recorded per-frame wall-clock at the ScanNet operating point —
+# read from the newest BENCH_r*.json at the repo root so the estimate
+# tracks the measured headline instead of rotting (VERDICT r03 weak #7);
+# the fallback constants are BENCH_r04-era.
 BENCH_TRACK_MS = 320.0
 BENCH_MAP_MS = 2140.0
+
+
+def _load_bench_constants():
+    global BENCH_TRACK_MS, BENCH_MAP_MS
+    import glob
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                d = json.load(f).get("parsed", {}).get("detail", {})
+            if "track_ms" in d and "map_ms" in d:
+                BENCH_TRACK_MS = float(d["track_ms"])
+                BENCH_MAP_MS = float(d["map_ms"])
+                return
+        except Exception:
+            continue
+
+
+_load_bench_constants()
 
 
 def fail(msgs, msg):

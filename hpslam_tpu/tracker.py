@@ -253,26 +253,26 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
 
     def pack_pool(inputs, knn_cache):
         """One flat f32 row per pooled ray: [i, j, d_gt, c_gt(3), rq,
-        D(S*k), I(S*k) bitcast] — the per-iteration subsample then costs
+        D(S*k), pack_ids(I)(S*k)] — the per-iteration subsample then costs
         ONE row gather instead of eight (slicing a gathered row is
         sequential reads; the iteration is op-count bound, see
         ops/fused_mlp.py / mapper.pack_union_cache)."""
         i, j, d_gt, c_gt, rq = inputs
         D, I = knn_cache
+        from .ops import knn as Knn
         return jnp.concatenate([
             i[:, None], j[:, None], d_gt[:, None], c_gt, rq[:, None],
             D.reshape(n_draw, SK),
-            jax.lax.bitcast_convert_type(
-                I.astype(jnp.int32).reshape(n_draw, SK), jnp.float32),
+            Knn.pack_ids(I.astype(jnp.int32).reshape(n_draw, SK)),
         ], axis=1)
 
     def unpack_rows(row):
         k_nn = rcfg.nn_num
         i, j, d_gt = row[:, 0], row[:, 1], row[:, 2]
         c_gt, rq = row[:, 3:6], row[:, 6]
+        from .ops import knn as Knn
         D = row[:, 7:7 + SK].reshape(-1, k_nn)
-        I = jax.lax.bitcast_convert_type(
-            row[:, 7 + SK:7 + 2 * SK], jnp.int32).reshape(-1, k_nn)
+        I = Knn.unpack_ids(row[:, 7 + SK:7 + 2 * SK]).reshape(-1, k_nn)
         return (i, j, d_gt, c_gt, rq), (D, I)
 
     def make_step(stage, level_arrays, inputs, knn_cache, cat_feats,
@@ -403,9 +403,11 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         batched) — all sub-stage searches already trace into this one
         jitted program, so there are no dispatch boundaries to collapse
         and total query rows are identical.  The unbatched default keeps
-        the evolved-pose (fresher) neighbour sets at equal cost; the knob
-        remains for dp meshes where one large sharded search can use the
-        devices better than four smaller ones."""
+        the evolved-pose (fresher) neighbour sets at equal cost.  The
+        knob is SINGLE-CHIP ONLY: track_frame force-disables it on a
+        mesh (the static sub-chunk slices of a dp-sharded cache would
+        reshard every sub-stage), so it exists purely as an ablation
+        switch."""
         losses = []
         R = max(resample_stages, 1)
         batched = batch_search and R > 1 and pool_factor <= 1 \

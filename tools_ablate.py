@@ -63,8 +63,8 @@ def main():
         ("resample4", {"tracking.resample_stages": 4}),
         # ONE stage-entry-pose batched search vs the default per-sub-chunk
         # searches at the evolved pose (perf-neutral on TPU; this row
-        # bounds the QUALITY cost of the staler-pose caches — relevant
-        # for dp meshes where the batched form is preferable)
+        # bounds the QUALITY cost of the staler-pose caches; single-chip
+        # ablation only — track_frame force-disables it on a mesh)
         ("batchknn_on", {"tracking.batched_substage_search": True}),
         ("probe16", {"tracking.knn_probe": 16, "mapping.knn_probe": 16}),
         ("cacheP500", {"mapping.pixels_knn_cache": 500}),

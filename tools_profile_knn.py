@@ -47,7 +47,8 @@ def main():
         bench(f"knn_tiles Q={Q} qchunk=Q", K.knn_tiles, q, *idx, k=8, q_chunk=Q)
 
     q = jnp.asarray(pts[rng.integers(0, N, 25_000)] + rng.normal(0, 0.05, (25_000, 3)).astype(np.float32))
-    pos_tiles, perm, tlo, thi = idx
+    packed, tlo, thi = idx  # packed tile rows (see knn.build_tiles)
+    tile = packed.shape[1] // 4
     @jax.jit
     def lb_only(q):
         lb2 = 0.0
@@ -59,8 +60,10 @@ def main():
     tsel = bench("  lb2+approx_min_k (25k x 4096)", lb_only, q)
     @jax.jit
     def gather_only(tsel):
-        return [pos_tiles[c][tsel].reshape(tsel.shape[0], -1) for c in range(3)]
-    cpos = bench("  tile gather (25k x 16 x 128 x 3)", gather_only, tsel)
+        crow = packed[tsel]  # one packed row gather per probed tile
+        return [crow[:, :, c * tile:(c + 1) * tile].reshape(
+            tsel.shape[0], -1) for c in range(3)]
+    cpos = bench("  tile gather (25k x 16 x 128 packed)", gather_only, tsel)
     @jax.jit
     def d2_sel(q, cpos):
         d2 = 0.0
