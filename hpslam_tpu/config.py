@@ -78,7 +78,6 @@ _VALUE_FLAGS = [
     ("track_w_color_loss", float, ("tracking", "w_color_loss")),
     ("track_iter", int, ("tracking", "iters")),
     ("resample", int, ("tracking", "resample_stages")),
-    ("pool_factor", int, ("tracking", "pixel_pool_factor")),
     ("union_size", int, ("mapping", "union_size")),
     ("map_iter", int, ("mapping", "iters")),
     ("min_iter_ratio", float, ("mapping", "min_iter_ratio")),

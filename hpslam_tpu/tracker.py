@@ -36,8 +36,7 @@ from .renderer import RenderConfig, render_rays
                      "W", "separate_lr", "use_exposure", "w_color",
                      "use_color", "handle_dynamic", "fx", "fy", "cx", "cy",
                      "resample_stages", "knn_probe",
-                     "mesh", "pool_factor", "fused_track",
-                     "dense_cache", "batch_search"))
+                     "mesh", "fused_track", "dense_cache"))
 def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 cam_init, key,
                 gt_color, gt_depth, r_query_mid, r_query_fine,
@@ -51,8 +50,8 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
                 w_color: float, use_color: bool, handle_dynamic: bool,
                 resample_stages: int = 1,
                 knn_probe: int = 16, mesh=None,
-                pool_factor: int = 1, fused_track: bool = False,
-                dense_cache: bool = True, batch_search: bool = False):
+                fused_track: bool = False,
+                dense_cache: bool = True):
     """Optimize the camera for one frame.
 
     Returns (best_cam (7,), best_loss, first_loss, last_loss, opt_out) where
@@ -73,32 +72,32 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     the gather path (tests/test_renderer.py dense-cache equivalence), with
     one strictly-better edge case: padded search slots (D >= BIG) carry a
     1e6 sentinel position instead of aliasing point 0.  Applies to the
-    plain path only (fused/pool paths manage their own caches).
+    plain path only (the fused path manages its own cache).
 
-    pool_factor: > 1 approximates the reference's PER-ITERATION pixel
-    resampling (Tracker.py:128-168) at one search's cost: each sub-stage
-    draws pool_factor*pixels pixels and runs ONE neighbour search over
-    the whole pool; every scan iteration then gathers a fresh random
-    ``pixels``-subset of the pooled rays + cached neighbours.  The pose
-    objective decorrelates across iterations (the reference behaviour the
-    frozen-set default trades away, ABLATIONS.md resample2 vs resample4)
-    while the per-iteration cost grows only by ~6 small row-gathers.
+    Two measured-negative sampling variants were REMOVED here round 5
+    (VERDICT r04 weak #6 — dead-knob prune; code in git history at
+    2f6824b): (a) ``pixel_pool_factor`` — per-iteration resampling from a
+    pooled pixel set, ATE-neutral vs resample_stages=4 but slower
+    (ABLATIONS.md round 4 pool2/pool4 rows); (b)
+    ``batched_substage_search`` — one stage-entry-pose search for all
+    sub-chunks, measured e2e-neutral (789.75 unbatched vs 799.33 batched
+    ms/frame, 2026-08-20) because all sub-stage searches already trace
+    into this one jitted program.  ``resample_stages`` is the one
+    surviving freshness knob.
     """
     from .parallel.mesh import shard_batch
     if fused_track:
         # fused tracker iteration (ops/fused_mlp.nicer_fused_trackloss):
         # v1 covers the production single-chip configuration
-        assert pool_factor <= 1 \
-            and mesh is None, "fused_track: plain direct-cache path only"
+        assert mesh is None, "fused_track: plain direct-cache path only"
         assert not (mcfg.use_view_direction or mcfg.use_normals
                     or mcfg.encode_rel_pos_in_col
                     or mcfg.encode_rel_pos_in_geo), \
             "fused_track: baseline decoder variants only"
     # dense cache applies to the plain path with plain feature variants
     # (rel-pos interpolation recomputes per-neighbour encodings and keeps
-    # the gather path; pool/fused paths manage their own caches)
+    # the gather path; the fused path manages its own cache)
     use_dense = (dense_cache and not fused_track
-                 and pool_factor <= 1
                  and not (mcfg.encode_rel_pos_in_geo
                           or mcfg.encode_rel_pos_in_col))
     # --- optimizable pytree (the reference's param groups, Tracker.py:383-415)
@@ -128,37 +127,17 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         expo = op["expo_feat"] if use_exposure else None
         return cam, pr, expo
 
-    n_draw = pixels * max(pool_factor, 1)
-    # batched sub-stage search only covers the plain single-chip path
-    # (pool/fused paths manage their own caches; on a mesh the static
-    # sub-chunk slices of a dp-sharded cache would reshard)
-    batch_search = (batch_search and mesh is None and pool_factor <= 1
-                    and not fused_track)
-
-    def stage_inputs_n(k, r_query_map, R):
-        """All R sub-chunks' pixel sets in ONE draw (run_stage
-        batch_search); sub-chunk s reads rows [s*pixels, (s+1)*pixels)."""
-        idx = pool[jax.random.randint(k, (R * pixels,), 0, pool_len)]
-        i = (idx % W).astype(jnp.float32)
-        j = (idx // W).astype(jnp.float32)
-        ji = (idx // W, idx % W)
-        return (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
-
     def stage_inputs(k, r_query_map):
         """Per-stage pixel set (the reference resamples every iteration,
         Tracker.py:128-168; freezing a set per stage turns 50 neighbour
-        searches into one and de-noises the pose objective).  With
-        pool_factor > 1 this is the POOL each scan iteration subsamples
-        ``pixels`` rays from (see make_step) — kept replicated on a mesh
-        so the per-iteration gathers stay device-local."""
-        idx = pool[jax.random.randint(k, (n_draw,), 0, pool_len)]
-        if pool_factor <= 1:
-            idx = shard_batch(mesh, idx)
+        searches into one and de-noises the pose objective)."""
+        idx = pool[jax.random.randint(k, (pixels,), 0, pool_len)]
+        idx = shard_batch(mesh, idx)
         i = (idx % W).astype(jnp.float32)
         j = (idx // W).astype(jnp.float32)
         ji = (idx // W, idx % W)
         out = (i, j, gt_depth[ji], gt_color[ji], r_query_map[ji])
-        return shard_batch(mesh, *out) if pool_factor <= 1 else out
+        return shard_batch(mesh, *out)
 
     def loss_fn(op, stage, level_arrays, inputs, knn_cache, cat_feats,
                 inside_thresh):
@@ -171,8 +150,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         # threshold hoisted to run_stage: the sub-stage pixel set is frozen
         # (reference Tracker.py:216 computes it per batch; identical here
         # since batch == stage set, and a 5k-element sort inside the scan
-        # is pure per-iteration overhead).  pool_factor > 1 uses the pool's
-        # statistics (superset of each iteration's draw).
+        # is pure per-iteration overhead).
         inside = d_gt <= inside_thresh
         if fused_track:
             # whole-iteration fused render (ops/fused_mlp): trunks +
@@ -248,49 +226,13 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
     cat_mid = jnp.concatenate([geo_mid, col_mid], axis=1).astype(fdt)
     cat_fine = jnp.concatenate([geo_fine, col_fine], axis=1).astype(fdt)
 
-    S_pts = rcfg.N_surface
-    SK = S_pts * rcfg.nn_num
-
-    def pack_pool(inputs, knn_cache):
-        """One flat f32 row per pooled ray: [i, j, d_gt, c_gt(3), rq,
-        D(S*k), pack_ids(I)(S*k)] — the per-iteration subsample then costs
-        ONE row gather instead of eight (slicing a gathered row is
-        sequential reads; the iteration is op-count bound, see
-        ops/fused_mlp.py / mapper.pack_union_cache)."""
-        i, j, d_gt, c_gt, rq = inputs
-        D, I = knn_cache
-        from .ops import knn as Knn
-        return jnp.concatenate([
-            i[:, None], j[:, None], d_gt[:, None], c_gt, rq[:, None],
-            D.reshape(n_draw, SK),
-            Knn.pack_ids(I.astype(jnp.int32).reshape(n_draw, SK)),
-        ], axis=1)
-
-    def unpack_rows(row):
-        k_nn = rcfg.nn_num
-        i, j, d_gt = row[:, 0], row[:, 1], row[:, 2]
-        c_gt, rq = row[:, 3:6], row[:, 6]
-        from .ops import knn as Knn
-        D = row[:, 7:7 + SK].reshape(-1, k_nn)
-        I = Knn.unpack_ids(row[:, 7 + SK:7 + 2 * SK]).reshape(-1, k_nn)
-        return (i, j, d_gt, c_gt, rq), (D, I)
-
     def make_step(stage, level_arrays, inputs, knn_cache, cat_feats,
                   inside_thresh):
         def step(carry, xs):
             op, ostate, best_loss, best_cam = carry
-            if pool_factor > 1:
-                # PER-ITERATION resampling (reference freshness,
-                # Tracker.py:128-168): this iteration's rows were
-                # pre-gathered into the scan xs (run_stage), so the loop
-                # body only slices its (pixels, 87) block — no in-loop
-                # gathers at all (the iteration is op-count bound)
-                it_inputs, it_cache = unpack_rows(xs)
-            else:
-                it_inputs, it_cache = inputs, knn_cache
             loss, grads = jax.value_and_grad(
-                lambda o: loss_fn(o, stage, level_arrays, it_inputs,
-                                  it_cache, cat_feats, inside_thresh))(op)
+                lambda o: loss_fn(o, stage, level_arrays, inputs,
+                                  knn_cache, cat_feats, inside_thresh))(op)
             op, ostate = Opt.update(grads, ostate, op, lr_tree)
             cam = (jnp.concatenate([op["quad"], op["T"]])
                    if separate_lr else op["cam"])
@@ -326,16 +268,7 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             D, I = Knn.knn_tiles(p, *tile_index, k=rcfg.nn_num,
                                  probe=knn_probe,
                                  q_chunk=p.shape[0])
-            if pool_factor > 1:
-                # pooled cache: re-replicate so the per-iteration
-                # random-row gathers stay device-local (one
-                # all-gather per stage)
-                from jax.sharding import NamedSharding, PartitionSpec
-                repl = NamedSharding(mesh, PartitionSpec())
-                D = jax.lax.with_sharding_constraint(D, repl)
-                I = jax.lax.with_sharding_constraint(I, repl)
-            else:
-                D, I = shard_batch(mesh, D, I)
+            D, I = shard_batch(mesh, D, I)
         if fused_track:
             # per-stage cache rows for the fused tracker kernel: frozen
             # neighbour positions + features gathered ONCE (the XLA path
@@ -392,69 +325,22 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         with fresh pixel sets + neighbour searches each — approximating the
         reference's per-iteration resampling (Tracker.py:128-168) at
         sub-stage granularity (resample_stages=4 is the production
-        default, ABLATIONS.md).
-
-        batch_search (default OFF): all sub-chunks' pixel sets are drawn
-        up-front and searched in ONE batched neighbour search at the
-        STAGE-ENTRY pose; each sub-chunk's scan then reads a static slice
-        of the batched cache.  Built expecting to collapse per-sub-chunk
-        fixed costs, but MEASURED E2E-NEUTRAL on TPU v5e (bench.py
-        same-session A/B, 2026-08-20: 789.75 ms/frame unbatched vs 799.33
-        batched) — all sub-stage searches already trace into this one
-        jitted program, so there are no dispatch boundaries to collapse
-        and total query rows are identical.  The unbatched default keeps
-        the evolved-pose (fresher) neighbour sets at equal cost.  The
-        knob is SINGLE-CHIP ONLY: track_frame force-disables it on a
-        mesh (the static sub-chunk slices of a dp-sharded cache would
-        reshard every sub-stage), so it exists purely as an ablation
-        switch."""
+        default, ABLATIONS.md)."""
         losses = []
-        R = max(resample_stages, 1)
-        batched = batch_search and R > 1 and pool_factor <= 1 \
-            and not fused_track
-        all_inputs = all_cache = None
-        if batched:
-            all_inputs = stage_inputs_n(jax.random.fold_in(k, 77),
-                                        r_query_map, R)
-            all_cache = stage_knn(all_inputs, tile_index, level_arrays[0],
-                                  cat_feats, current_cam(carry),
-                                  rcfg.N_surface)
         for s in range(resample_stages):
             sub = iters // resample_stages + (
                 1 if s < iters % resample_stages else 0)
             if sub == 0:
                 continue
-            if batched:
-                rs = slice(s * pixels, (s + 1) * pixels)
-                ss = slice(s * pixels * S_pts, (s + 1) * pixels * S_pts)
-                inputs = tuple(a[rs] for a in all_inputs)
-                cache = tuple(c[ss] for c in all_cache)
-            else:
-                inputs = stage_inputs(jax.random.fold_in(k, s), r_query_map)
-                cache = stage_knn(inputs, tile_index, level_arrays[0],
-                                  cat_feats, current_cam(carry),
-                                  rcfg.N_surface)
+            inputs = stage_inputs(jax.random.fold_in(k, s), r_query_map)
+            cache = stage_knn(inputs, tile_index, level_arrays[0],
+                              cat_feats, current_cam(carry),
+                              rcfg.N_surface)
             # per-sub-stage 'inside' threshold (see loss_fn)
             d_gt_stage = inputs[2]
             inside_thresh = jnp.minimum(10.0 * jnp.median(d_gt_stage),
                                         1.2 * jnp.max(d_gt_stage))
-            if pool_factor > 1:
-                # pre-gather every iteration's fresh subset up-front: one
-                # (sub*pixels)-row gather from the packed pool, fed to the
-                # scan as xs (sliced per iteration for free)
-                packed = pack_pool(inputs, cache)
-                sel = jax.random.randint(
-                    jax.random.fold_in(k, 10_000 + s),
-                    (sub, pixels), 0, n_draw)
-                xs = packed[sel]                  # (sub, pixels, 87)
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    xs = jax.lax.with_sharding_constraint(
-                        xs, NamedSharding(mesh,
-                                          PartitionSpec(None, "dp", None)))
-            else:
-                xs = jax.random.split(
-                    jax.random.fold_in(k, 10_000 + s), sub)
+            xs = jax.random.split(jax.random.fold_in(k, 10_000 + s), sub)
             carry, ls = jax.lax.scan(
                 make_step(stage, level_arrays, inputs, cache, cat_feats,
                           inside_thresh),
@@ -493,26 +379,18 @@ class Tracker:
         self.ignore_edge_H = t["ignore_edge_H"]
         self.const_speed = t["const_speed_assumption"]
         self.resample_stages = int(t.get("resample_stages", 1))
-        # > 1: each sub-stage searches a pool_factor*pixels pixel pool once
-        # and every iteration re-draws a fresh ``pixels`` subset from it —
-        # the reference's per-iteration resampling freshness
-        # (Tracker.py:128-168) at one search per sub-stage (see
-        # track_frame docstring)
-        self.pool_factor = int(t.get("pixel_pool_factor", 1))
         self.knn_probe = int(t.get("knn_probe", 12))
-        # Two measured-negative tracker variants were REMOVED (VERDICT r02
-        # item 9), their measurements kept here for the record: (a) per-ray
-        # segment search (ops/knn.knn_ray, still available standalone) —
-        # needs probe=32 for recall parity, 89 vs 63 ms at 25k samples;
-        # (b) per-ray neighbour-union gather — pose-differentiable weights
-        # force a dWm backward over the union feature cache, 3.1 vs 1.8
-        # ms/iter at the ScanNet operating point (the mapper KEEPS unions:
-        # its weights are frozen per stage, where they measure positive).
+        # Measured-negative tracker variants REMOVED (VERDICT r02 item 9 /
+        # r04 weak #6 prune), measurements kept for the record: (a) per-ray
+        # segment search (ops/knn.knn_ray, removed r5) — needs probe=32
+        # for recall parity, 89 vs 63 ms at 25k samples; (b) per-ray
+        # neighbour-union gather — pose-differentiable weights force a dWm
+        # backward over the union feature cache, 3.1 vs 1.8 ms/iter (the
+        # mapper KEEPS unions: its weights are frozen per stage, where
+        # they measure positive); (c) pixel_pool_factor — ATE-neutral,
+        # slower (ABLATIONS.md r4); (d) batched_substage_search —
+        # e2e-neutral (789.75 vs 799.33 ms/frame, 2026-08-20).
         self.dense_cache = bool(t.get("dense_cache", True))
-        # one batched neighbour search per stage at the stage-entry pose
-        # instead of one per resample sub-chunk; measured e2e-neutral on
-        # TPU, default OFF for pose freshness (see track_frame.run_stage)
-        self.batch_search = bool(t.get("batched_substage_search", False))
         # fused tracker iteration kernel ('auto' -> on-TPU only; the
         # Pallas kernels interpret off-TPU).  Falls back to the XLA path
         # whenever an unsupported variant knob is active (see
@@ -537,7 +415,7 @@ class Tracker:
         """fused_track only covers the production configuration; any
         variant knob falls back to the XLA path silently (once-logged)."""
         m = slam.mcfg
-        ok = (self.fused_loss and self.pool_factor <= 1
+        ok = (self.fused_loss
               and getattr(slam, "mesh", None) is None
               and not (m.use_view_direction or m.use_normals
                        or m.encode_rel_pos_in_col
@@ -630,10 +508,8 @@ class Tracker:
             resample_stages=self.resample_stages,
             knn_probe=self.knn_probe,
             mesh=getattr(slam, "mesh", None),
-            pool_factor=self.pool_factor,
             fused_track=self._fused_ok(slam),
-            dense_cache=self.dense_cache,
-            batch_search=self.batch_search)
+            dense_cache=self.dense_cache)
 
         # single batched device->host fetch (scalar fetches cost a full
         # tunnel round-trip each)

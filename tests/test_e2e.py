@@ -183,23 +183,30 @@ def test_quality_gate_noisy_synthetic(tmp_path):
     the full mesher path) must stay under accuracy/completion ceilings vs
     the culled GT box mesh, so recon regressions trip CI too.
 
-    The ATE gate is on the MIN over two seeds: this 30-frame fixture is
-    chaotic (a single bad draw measured 0.38 m while three other seeds
-    measured 0.108-0.121 m, tools_calib_meshgate.py r04 calibration, and
-    environment/XLA-version shifts moved a single-seed number 0.074 ->
-    0.29 m between sessions on the OLD inline fixture) — a mechanism
-    regression lifts every seed, chaos lifts one.  Calibrated r04 on this
-    box: seeds {1219, 2} -> {0.1205, 0.1078}; gate min < 0.25 m (~2.2x).
+    The ATE gate is the MEDIAN over three seeds (VERDICT r04 item 4 —
+    min-of-2 was the weakest possible statistic: a defect that doubles
+    the typical error passes while one seed stays lucky; the median of 3
+    trips when the distribution shifts).  Calibration (round-5 session,
+    tools_calib_meshgate.py, 6 seeds at this exact fixture):
+    {1219: 0.1205, 0: 0.1174, 1: 0.3829, 2: 0.1078, 3: 0.2233,
+    5: 0.0919} m — the fixture is chaotic with ~1-in-3 bad draws (0.22,
+    0.38) over a 0.09-0.12 m typical band.  The same sweep ran at the
+    pre-packed-index commit 0c6e0a9 and produced BITWISE-identical
+    per-seed ATEs, settling VERDICT r03's bisect question (see
+    QUALITY.md).  Gate seeds (1219, 0, 2) -> median 0.1174 m; ceiling
+    0.22 m (~1.9x): a regression that doubles the typical error lifts
+    the median past it, while one chaotic draw cannot.
     Mesh gate on the seed-1219 run at voxel 5 cm, measured acc 48.1 cm /
     comp 26.1 cm / F@5cm 0.077 (the ~10 cm pose error plus 10-iteration
-    maps dominate) -> gates 100 cm / 60 cm / >0.03: loose in absolute
-    terms, but an empty or junk mesh (broken mesher/renderer/TSDF) lands
-    far outside (acc >1 m, F ~0)."""
+    maps dominate) -> junk-catcher floors 100 cm / 60 cm / >0.03: an
+    empty or garbage mesh (broken mesher/renderer/TSDF) lands far
+    outside (acc >1 m, F ~0); genuine quality evidence lives in
+    QUALITY.md's full-budget runs, not this gate."""
     from hpslam_tpu.slam import PointSLAM
 
     rmses = {}
     slams = {}
-    for seed in (1219, 2):
+    for seed in (1219, 0, 2):
         cfg = noisy_tiny_cfg(tmp_path, seed=seed)
         slam = PointSLAM(cfg)
         results, _ = slam.run()
@@ -208,8 +215,8 @@ def test_quality_gate_noisy_synthetic(tmp_path):
         assert np.isfinite(rmse)
         rmses[seed] = rmse
         slams[seed] = slam
-    best = min(rmses.values())
-    assert best < 0.25, f"noisy-synthetic ATE gate tripped: {rmses} m"
+    med = float(np.median(list(rmses.values())))
+    assert med < 0.22, f"noisy-synthetic ATE median gate tripped: {rmses} m"
     slam = slams[1219]
 
     # ---- mesh gate: fuse the estimated trajectory through the real

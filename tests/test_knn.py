@@ -173,61 +173,6 @@ def test_knn_tiles_empty_cloud():
     assert np.all(np.asarray(I) == 0)
 
 
-@pytest.mark.slow  # knn_ray is a standalone (non-default) op; 16 s of the
-# fast tier's 60 s budget — knn_tiles/segmin recall stay fast-tier
-def test_knn_ray_segment_recall(rng):
-    """Per-ray segment search (tracker fast path) vs exact per-sample kNN
-    on a dense wall hit at oblique incidence — the case that defeats a
-    surface-point candidate disc (samples ±4% of depth off-surface slide
-    laterally across the wall by offset*tan(incidence); the segment
-    candidate set covers the whole span by construction)."""
-    N_cap = 1 << 16
-    pts = np.full((N_cap, 3), 777.0, np.float32)
-    # dense wall z = -2, ~1.1 cm spacing (fine-level density)
-    g = 200
-    xs, ys = np.meshgrid(np.linspace(-1.1, 1.1, g), np.linspace(-1.1, 1.1, g))
-    wall = np.stack([xs.ravel(), ys.ravel(), np.full(g * g, -2.0)], 1)
-    wall += rng.normal(0, 0.002, wall.shape)
-    count = g * g
-    pts[:count] = wall.astype(np.float32)
-
-    R, S, k = 500, 5, 8
-    o = np.zeros((3,), np.float32)
-    tgt = wall[rng.integers(0, count, R)]
-    d = (tgt - o).astype(np.float32)          # unnormalised, z-units
-    depth = np.ones((R, 1), np.float32)       # z scales rays_d
-    z = np.linspace(0.96, 1.04, S, dtype=np.float32)[None, :] * depth
-    p = o[None, None, :] + d[:, None, :] * z[..., None]  # (R, S, 3)
-
-    idx = K.build_tiles(jnp.asarray(pts), jnp.int32(count), tile=128)
-    D, I = K.knn_ray(jnp.asarray(np.tile(o, (R, 1))), jnp.asarray(d),
-                     jnp.asarray(z), *idx, k=k)
-    D = np.asarray(D)
-
-    tree = cKDTree(pts[:count])
-    d_ref, _ = tree.query(p.reshape(-1, 3), k=k)
-    recall = np.mean(np.isclose(np.sqrt(D), d_ref, atol=1e-4))
-    assert recall >= 0.97, f"ray-segment recall {recall}"
-    # the nearest neighbour (drives interpolation weights) must be near-exact
-    recall1 = np.mean(np.isclose(np.sqrt(D[:, 0]), d_ref[:, 0], atol=1e-4))
-    assert recall1 >= 0.995, f"1-NN recall {recall1}"
-
-
-def test_knn_ray_masks_invalid(rng):
-    pts = np.full((256, 3), 1e6, np.float32)
-    pts[:4] = rng.uniform(-1, 1, (4, 3)).astype(np.float32)
-    idx = K.build_tiles(jnp.asarray(pts), jnp.int32(4), tile=128)
-    o = np.zeros((2, 3), np.float32)
-    d = pts[:2]
-    z = np.linspace(0.96, 1.04, 5, dtype=np.float32)[None, :].repeat(2, 0)
-    D, I = K.knn_ray(jnp.asarray(o), jnp.asarray(d), jnp.asarray(z),
-                     *idx, k=8)
-    D, I = np.asarray(D), np.asarray(I)
-    assert np.all(I.ravel() < 4)
-    assert np.all(D[:, 4:] >= K.BIG)
-    # middle sample of ray 0 sits exactly on point 0
-    assert np.allclose(D[2, 0], 0.0, atol=1e-5)
-
 
 @pytest.mark.slow
 def test_recall_at_scale(rng):
@@ -307,7 +252,13 @@ def test_packed_index_matches_unpacked_oracle(rng):
     identical Morton sort, at the tracker's exact call pattern (probe=12,
     k=8) across all three chunk regimes — single-chunk, unrolled
     (2..8 chunks), and the lax.map fallback (>8 chunks) — and under
-    the mapper's dynamic per-query radius counting."""
+    the mapper's dynamic per-query radius counting.
+
+    Tie handling (ADVICE r04): the jitted path FMA-contracts the
+    square-accumulate, so two near-equidistant candidates (or tiles) can
+    legitimately swap order across XLA versions/fusion decisions.  Where
+    ids differ the distances must agree to fusion tolerance (a true tie);
+    everywhere else ids must match exactly."""
     N_cap, count, k, probe = 1 << 14, 11000, 8, 12
     w = rng.integers(0, 3, count)
     u = rng.uniform(-2, 2, (count, 3)).astype(np.float32)
@@ -359,23 +310,37 @@ def test_packed_index_matches_unpacked_oracle(rng):
         return (np.asarray(jnp.where(inval, K.BIG, D)),
                 np.asarray(jnp.where(inval, 0, I)))
 
-    qi = rng.integers(0, count, 5000)
-    q = jnp.asarray(pts[qi] + rng.normal(0, 0.05, (5000, 3)).astype(np.float32))
+    # 2500 queries keep the eager-oracle cost inside the fast-tier budget
+    # (ADVICE r04: 5000 added ~12 s); all three chunk regimes still hit
+    qi = rng.integers(0, count, 2500)
+    q = jnp.asarray(pts[qi] + rng.normal(0, 0.05, (2500, 3)).astype(np.float32))
 
     for Q, q_chunk in ((1500, 4096),   # single-chunk fast path
-                       (5000, 1024),   # unrolled loop (5 chunks)
-                       (5000, 256)):   # lax.map fallback (20 chunks)
+                       (2500, 512),    # unrolled loop (5 chunks)
+                       (2500, 128)):   # lax.map fallback (20 chunks)
         Dn, In = K.knn_tiles(q[:Q], packed, tlo, thi,
                              k=k, probe=probe, q_chunk=q_chunk)
         Do, Io = oracle(q[:Q], q_chunk)
-        np.testing.assert_array_equal(np.asarray(In), Io,
-                                      err_msg=f"ids differ at {Q}/{q_chunk}")
-        # ids exact; distances only to fusion tolerance (the jitted path
-        # FMA-contracts the square-accumulate, ~1e-7 relative)
-        np.testing.assert_allclose(np.asarray(Dn), Do, rtol=1e-5, atol=1e-8,
+        Dn, In = np.asarray(Dn), np.asarray(In)
+        # distances to fusion tolerance everywhere
+        np.testing.assert_allclose(Dn, Do, rtol=1e-5, atol=1e-8,
                                    err_msg=f"dists differ at {Q}/{q_chunk}")
-        # dynamic per-query radii (the mapper/tracker downstream pattern)
+        # tie-aware id equality: an id mismatch is only acceptable where
+        # the two candidates are equidistant to fusion tolerance (the
+        # global allclose above already enforces that), and must be rare
+        mm = In != Io
+        assert mm.mean() < 1e-3, (
+            f"non-tie id divergence at {Q}/{q_chunk}: "
+            f"{mm.sum()}/{mm.size} mismatches")
+        # dynamic per-query radii (the mapper/tracker downstream pattern);
+        # counts may differ only where a distance sits ON the radius
+        # boundary to fusion tolerance
         r = jnp.asarray(rng.uniform(0.02, 0.2, Q).astype(np.float32))
-        np.testing.assert_array_equal(
-            np.asarray(K.neighbor_counts(jnp.asarray(Dn), r)),
-            np.asarray(K.neighbor_counts(jnp.asarray(Do), r)))
+        cn = np.asarray(K.neighbor_counts(jnp.asarray(Dn), r))
+        co = np.asarray(K.neighbor_counts(jnp.asarray(Do), r))
+        diff = cn != co
+        if diff.any():
+            r2 = (np.asarray(r)[diff] ** 2)[:, None]
+            boundary = np.abs(Do[diff] - r2) <= 1e-5 * r2
+            assert boundary.any(axis=1).all(), (
+                f"count divergence off-boundary at {Q}/{q_chunk}")

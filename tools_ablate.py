@@ -43,7 +43,7 @@ def run_variant(name: str, overrides: dict, seed: int | None = None):
     t0 = time.perf_counter()
     slam = PointSLAM(cfg)
     print(f"  [cfg] tracker: resample={slam.tracker.resample_stages} "
-          f"pool={slam.tracker.pool_factor} iters={slam.tracker.iters} "
+          f"iters={slam.tracker.iters} "
           f"probe={slam.tracker.knn_probe}", flush=True)
     results, summary = slam.run()
     dt = time.perf_counter() - t0
@@ -61,11 +61,8 @@ def main():
         ("resample1", {"tracking.resample_stages": 1}),
         ("resample2", {"tracking.resample_stages": 2}),
         ("resample4", {"tracking.resample_stages": 4}),
-        # ONE stage-entry-pose batched search vs the default per-sub-chunk
-        # searches at the evolved pose (perf-neutral on TPU; this row
-        # bounds the QUALITY cost of the staler-pose caches; single-chip
-        # ablation only — track_frame force-disables it on a mesh)
-        ("batchknn_on", {"tracking.batched_substage_search": True}),
+        # (batchknn_on / pool2 / pool4 rows removed round 5 with their
+        # knobs — measurements recorded in ABLATIONS.md round 4)
         ("probe16", {"tracking.knn_probe": 16, "mapping.knn_probe": 16}),
         ("cacheP500", {"mapping.pixels_knn_cache": 500}),
         ("cacheP8000", {"mapping.pixels_knn_cache": 8000}),
@@ -85,12 +82,6 @@ def main():
         # the wall fixture; searches are ~3.5x faster at probe=8)
         ("probe8", {"tracking.knn_probe": 8, "mapping.knn_probe": 8}),
         ("probe12", {"tracking.knn_probe": 12, "mapping.knn_probe": 12}),
-        # tracker pixel-pool per-iteration resampling (pool_factor):
-        # reference freshness at one search per sub-stage
-        ("pool2", {"tracking.pixel_pool_factor": 2}),
-        ("pool2_r2", {"tracking.pixel_pool_factor": 2,
-                      "tracking.resample_stages": 2}),
-        ("pool4", {"tracking.pixel_pool_factor": 4}),
         # ALL-SHORTCUTS-OFF (VERDICT r1 item 6): bound the COMBINED drift
         # of every TPU-design shortcut vs reference semantics — tracker
         # re-searches every 2 iterations, no union truncation (u = S*k),

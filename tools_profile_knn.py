@@ -104,14 +104,13 @@ def ray_bench():
             force(f(*a, **kw))
         print(f"{tag:46s} {(time.perf_counter()-t0)/10*1e3:8.2f} ms")
     bench("per-sample knn_tiles 25k", K.knn_tiles, p, *idx, k=8)
-    for probe in (16, 24, 32):
-        bench(f"knn_ray 5k rays probe={probe}", K.knn_ray, oj, dj, zj, *idx, k=8, probe=probe)
+    # knn_ray rows removed with the op (round-5 prune; measured 89 vs 63
+    # ms at recall-parity probe=32 — see ops/knn.py note)
     # mid level too
     CAPm = 1 << 17; Nm = 60_000
     ptsm = np.full((CAPm, 3), 777.0, np.float32); ptsm[:Nm] = u[:Nm]
     idxm = K.build_tiles(jnp.asarray(ptsm), jnp.int32(Nm))
     bench("per-sample knn_tiles 25k (mid)", K.knn_tiles, p, *idxm, k=8)
-    bench("knn_ray 5k rays probe=32 (mid)", K.knn_ray, oj, dj, zj, *idxm, k=8, probe=32)
 
 ray_bench()
 

@@ -5,7 +5,7 @@ IN-PROGRAM (one jit per variant, one device sync per measurement) so the
 way standalone calls do (see build_tiles docstring).
 
 Variants: 4 chained 25k searches (per-sub-stage behaviour) vs ONE 100k
-search (batched_substage_search) at q_chunk 4096/8192, on the 300k-point
+search (the removed batched_substage_search knob) at q_chunk 4096/8192, on the 300k-point
 fine cloud (cap 2^19, tile=128, T=4096, probe=12, k=8)."""
 import os
 import sys

@@ -174,7 +174,6 @@ def main():
             separate_lr=False, use_exposure=True, w_color=0.5,
             use_color=True, handle_dynamic=True,
             resample_stages=int(os.environ.get("TRACE_RESAMPLE", "4")),
-            batch_search=os.environ.get("TRACE_BATCH", "0") == "1",
             knn_probe=12)
 
     out = go_track(jax.random.PRNGKey(0))

@@ -63,7 +63,7 @@ def main():
     pool_j = jnp.asarray(pool)
 
     def run(tag, pixels=5000, iters=100, resample=2, use_exposure=True,
-            use_color=True, bf16=False, fused=False, pf=1,
+            use_color=True, bf16=False, fused=False,
             dense=False, probe=16):
         mc = Dec.ModelConfig(encode_exposure=True,
                              encode_rel_pos_in_col=False, mm_bf16=bf16,
@@ -82,7 +82,7 @@ def main():
                 fx=FX, fy=FY, cx=CX, cy=CY, cam_lr=5e-4, separate_lr=False,
                 use_exposure=use_exposure, w_color=0.5, use_color=use_color,
                 handle_dynamic=True, resample_stages=resample,
-                pool_factor=pf, dense_cache=dense,
+                dense_cache=dense,
                 knn_probe=probe)
             jax.block_until_ready(out)
 
@@ -124,14 +124,7 @@ def main():
         ("i2r1 fused noexpo", dict(iters=2, resample=1, fused=True, use_exposure=False)),
         ("i2r1 fused px1000", dict(iters=2, resample=1, fused=True, pixels=1000)),
         ("i2r1 fused nocolor", dict(iters=2, resample=1, fused=True, use_color=False)),
-        # pixel-pool per-iteration resampling (tracker pool_factor)
-        ("xpool2 i2", dict(resample=1, pf=2, iters=2)),
-        ("xpool1 i2", dict(resample=1, iters=2)),
-        ("xpool2 i102", dict(resample=1, pf=2, iters=102)),
-        ("xpool1 i102", dict(resample=1, iters=102)),
-        ("pool2 r1", dict(resample=1, pf=2)),
-        ("pool2 r2", dict(resample=2, pf=2)),
-        ("pool4 r1", dict(resample=1, pf=4)),
+        # (pool_factor rows removed with the knob, round-5 prune)
         ("pool1 r4", dict(resample=4)),
         # dense pre-gathered neighbour cache (tracking.dense_cache)
         ("dense i102r1", dict(iters=102, resample=1, dense=True)),

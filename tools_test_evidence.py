@@ -18,8 +18,12 @@ import time
 
 def run_tier(args):
     t0 = time.time()
+    # stderr folded into stdout (ADVICE r04): a collection/import crash or
+    # an interrupted run puts its diagnostics on stderr — without this the
+    # receipt records green=false with an empty tail and no evidence.
     p = subprocess.run([sys.executable, "-m", "pytest", "tests/", "-q", *args],
-                       capture_output=True, text=True)
+                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                       text=True)
     dt = time.time() - t0
     tail = "\n".join(p.stdout.strip().splitlines()[-6:])
     m = re.search(r"(\d+) passed", p.stdout)
@@ -30,13 +34,16 @@ def run_tier(args):
         "failed": int(f.group(1)) if f else 0,
         "errors": int(e.group(1)) if e else 0,
         "returncode": p.returncode,
+        # pytest rc 5 = "no tests collected" — a config/marker problem,
+        # not a test failure; surfaced distinctly (ADVICE r04)
+        "no_tests": p.returncode == 5,
         "duration_s": round(dt, 1),
         "tail": tail,
     }
 
 
 def main():
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                           text=True).stdout.strip()
     dirty = subprocess.run(["git", "status", "--porcelain"],
