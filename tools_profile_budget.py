@@ -115,29 +115,36 @@ def main():
     key = jax.random.PRNGKey(0)
     print("platform:", jax.devices()[0])
     print()
+    do_track = os.environ.get("BUDGET_SKIP_TRACK", "0") != "1"
+    if not do_track:
+        print("(track section skipped via BUDGET_SKIP_TRACK)")
     print("## tracker budget (ScanNet op point: 100 it x 5000 px, r=4)")
-    A = t_ms(run_track, key, resample=4)
-    B = t_ms(run_track, key, resample=1)
-    C = t_ms(run_track, key, resample=1, iters=2)
+    if do_track:
+        A = t_ms(run_track, key, resample=4)
+        B = t_ms(run_track, key, resample=1)
+        C = t_ms(run_track, key, resample=1, iters=2)
+    else:
+        A = B = C = 0.0
     # A = 8f + 100c + base;  B = 2f + 100c + base;  C = 2f + 2c + base
-    f = (A - B) / 6.0
-    c = (B - C) / 98.0
-    base = C - 2 * f - 2 * c
-    q = jnp.asarray(rng.uniform(-3, 3, (TRACK_PIXELS * 5, 3))
-                    .astype(np.float32))
-    s_fine = t_ms(K.knn_tiles, q, *idx_fine, k=8, probe=12, reps=5)
-    s_mid = t_ms(K.knn_tiles, q, *idx_mid, k=8, probe=12, reps=5)
-    print(f"| e2e r4 (prod) | {A:8.2f} ms |")
-    print(f"| e2e r1        | {B:8.2f} ms |")
-    print(f"| e2e r1 it=2   | {C:8.2f} ms |")
-    print(f"| derived: per-sub-stage fixed (search+cache+thresh) "
-          f"| {f:6.2f} ms x8 = {8*f:6.1f} |")
-    print(f"| derived: per-iteration scan cost | {c:6.3f} ms x100 "
-          f"= {100*c:6.1f} |")
-    print(f"| derived: program base (dispatch+pool upload+fetch) "
-          f"| {base:6.2f} ms |")
-    print(f"| standalone knn_tiles 25k fine/mid | {s_fine:6.2f} / "
-          f"{s_mid:6.2f} ms (x4 each = {4*(s_fine+s_mid):6.1f}) |")
+    if do_track:
+        f = (A - B) / 6.0
+        c = (B - C) / 98.0
+        base = C - 2 * f - 2 * c
+        q = jnp.asarray(rng.uniform(-3, 3, (TRACK_PIXELS * 5, 3))
+                        .astype(np.float32))
+        s_fine = t_ms(K.knn_tiles, q, *idx_fine, k=8, probe=12, reps=5)
+        s_mid = t_ms(K.knn_tiles, q, *idx_mid, k=8, probe=12, reps=5)
+        print(f"| e2e r4 (prod) | {A:8.2f} ms |")
+        print(f"| e2e r1        | {B:8.2f} ms |")
+        print(f"| e2e r1 it=2   | {C:8.2f} ms |")
+        print(f"| derived: per-sub-stage fixed (search+cache+thresh) "
+              f"| {f:6.2f} ms x8 = {8*f:6.1f} |")
+        print(f"| derived: per-iteration scan cost | {c:6.3f} ms x100 "
+              f"= {100*c:6.1f} |")
+        print(f"| derived: program base (dispatch+pool upload+fetch) "
+              f"| {base:6.2f} ms |")
+        print(f"| standalone knn_tiles 25k fine/mid | {s_fine:6.2f} / "
+              f"{s_mid:6.2f} ms (x4 each = {4*(s_fine+s_mid):6.1f}) |")
     print()
 
     # ---- mapping budget
@@ -163,7 +170,7 @@ def main():
     print("## mapper budget (600 it x 10000 rays, window 20, per level)")
     level_arrays = {"mid": mid, "fine": fine}
     totals = {}
-    for lvl in ("mid", "fine"):
+    for lvl in tuple(os.environ.get("BUDGET_LEVELS", "mid,fine").split(",")):
         stage_ids, lr_table = schedules[lvl]
         arr = level_arrays[lvl]
 
@@ -190,10 +197,11 @@ def main():
         tm_cp = t_ms(lambda: compact_pack()[:6])
         uniq, uids_c, pos_c, geo_c, col_c, packed, U = compact_pack()
 
-        dec_flat, dec_unravel = ravel_pytree(
-            {f"col_{lvl}": params[f"col_{lvl}"]})
-
         def scan_only():
+            # dec_flat rebuilt per call: map_scan DONATES opt_params, so a
+            # hoisted flat vector would be a deleted buffer on the 2nd call
+            dec_flat, _ = ravel_pytree(
+                {f"col_{lvl}": params[f"col_{lvl}"]})
             op = {"feat": jnp.concatenate([geo_c, col_c], 1),
                   "dec_flat": dec_flat,
                   "expo_feat": jnp.asarray(expo)}
