@@ -167,9 +167,11 @@ def main():
 
     def run_map(key):
         """Both level phases with the product's union-dedup + compact-row
-        optimization path (mapper.build_pixel_union_cache/compact_scene)."""
+        optimization path (mapper.build_pixel_union_cache/compact_scene),
+        incl. its two-pass cache-build + count-prefetch structure (a
+        scalar fetch costs ~62 ms through the tunnel, QUALITY.md)."""
+        built = {}
         for lvl in ("mid", "fine"):
-            stage_ids, lr_table = schedules[lvl]
             arr = level_arrays[lvl]
             cache_pix, uids, Wm, pmask, cache_const = build_pixel_union_cache(
                 key, depths, c2ws, pools, pool_lens, rq_stack[lvl],
@@ -179,7 +181,17 @@ def main():
                 near_surface=0.96, far_surface=1.04,
                 min_nn=mcfg.min_nn_num, weighting=mcfg.weighting,
                 colors=colors, knn_probe=12)
-            U = unique_bucket(int(count_unique(uids)), arr[0].shape[0])
+            cnt = count_unique(uids)
+            try:
+                cnt.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+            built[lvl] = (cache_pix, uids, Wm, pmask, cache_const, cnt)
+        for lvl in ("mid", "fine"):
+            stage_ids, lr_table = schedules[lvl]
+            arr = level_arrays[lvl]
+            cache_pix, uids, Wm, pmask, cache_const, cnt = built[lvl]
+            U = unique_bucket(int(cnt), arr[0].shape[0])
             uniq, uids, pos_c, geo_c, col_c = compact_scene(
                 uids, arr[0], arr[2], arr[3], U)
             packed = pack_union_cache(cache_const, Wm, pmask, uids)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -347,6 +348,16 @@ def unique_bucket(n: int, cap: int) -> int:
     return min(u, cap)
 
 
+def _scan_unroll(n: int) -> int:
+    """Unroll factor for the per-stage optimizer scans: 2 when it divides
+    the length (halves the while-loop bookkeeping of the op-count-bound
+    iteration and lets XLA overlap adjacent iterations' independent ops),
+    1 otherwise (a non-dividing unroll adds a remainder epilogue
+    program)."""
+    u = int(os.environ.get("HPSLAM_SCAN_UNROLL", "2"))
+    return u if u > 1 and n % u == 0 else 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mcfg", "rcfg", "level", "n_rays", "F_max", "H", "W",
@@ -606,7 +617,17 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         return jnp.matmul(oh, aff)                           # (n, 12)
 
     def stage_loss(op, k, stage):
-        pr = merged_params(op)
+        # geometry iterations never read the colour decoder (the fused
+        # kernel zeroes rgb when with_color=False, and the XLA geo stage
+        # calls only apply_geo), and the geo decoder is frozen unless
+        # opt_geo_dec — so with only the colour decoder optimizable the
+        # merged_params unravel (22 slice ops forward + their concat
+        # backward, per iteration) is dead weight on geometry stages.
+        # dec_flat still rides through Adam with exactly-zero grads,
+        # preserving the reference's shared-optimizer momentum decay.
+        geo_stage = stage.startswith("geometry")
+        pr = (params if (geo_stage and not opt_geo_dec)
+              else merged_params(op))
         if use_union:
             (fid, rays_d, d_gt, c_gt, z_c, pts_c, kcache,
              row) = sample_rays(k, op)
@@ -735,12 +756,14 @@ def map_scan(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
         if g > 0:
             carry, lg = jax.lax.scan(
                 step_for(f"geometry_{level}"), carry,
-                (keys[:g], lr_table[:g]))
+                (keys[:g], lr_table[:g]),
+                unroll=_scan_unroll(g))
             parts.append(lg)
         if n_iters - g > 0:
             carry, lc = jax.lax.scan(
                 step_for(f"color_{level}"), carry,
-                (keys[g:], lr_table[g:]))
+                (keys[g:], lr_table[g:]),
+                unroll=_scan_unroll(n_iters - g))
             parts.append(lc)
         (opt_params, opt_state) = carry
         losses = (jnp.concatenate(parts) if parts
@@ -1162,18 +1185,22 @@ class Mapper:
         u_max = int(self.cfg["mapping"].get("union_size", 8))
 
         keys = jax.random.split(key, 4)
+
+        # ---- pass 1: build BOTH levels' caches and PREFETCH the unique
+        # counts.  The count is the one scalar the host must read before
+        # it can pick the compact-table bucket, and a scalar fetch through
+        # the tunnelled runtime costs ~62 ms (QUALITY.md per-phase
+        # budget); enqueueing both builds first and arming
+        # copy_to_host_async lets the mid count transfer while the fine
+        # cache build executes, making both int() reads ~free.  Safe to
+        # hoist: cache builds depend only on the frozen window poses
+        # (c2ws_j — never updated inside this loop, even under BA) and
+        # the level's positions/index, which the scans do not touch.
+        built = {}
         for phase_i, level in enumerate(("mid", "fine")):
             stage_ids, lr_table = schedules[level]
             if stage_ids.size == 0:
                 continue
-            # map_scan's static geo/color split requires a contiguous
-            # geometry-then-colour schedule (build_schedule guarantees it;
-            # assert here so an interleaved schedule can't silently run
-            # iterations under the wrong stage)
-            n_geo = int(np.sum(stage_ids == 0))
-            assert (stage_ids[:n_geo] == 0).all() and \
-                (stage_ids[n_geo:] == 1).all(), \
-                "map_scan static split needs contiguous geometry prefix"
             lv = npc.levels[level]
             cacheD = cacheWm = cachePmask = cache_const = None
             if use_union:
@@ -1204,10 +1231,33 @@ class Mapper:
                     near_surface=self.rcfg.near_end_surface,
                     far_surface=self.rcfg.far_end_surface,
                     mesh=getattr(slam, "mesh", None))
+            cnt = count_unique(cacheI)
+            try:
+                cnt.copy_to_host_async()
+            except Exception:  # noqa: BLE001 — prefetch is best-effort
+                pass
+            built[level] = (phase_i, stage_ids, lr_table, lv, cache_pix,
+                            cacheI, cacheD, cacheWm, cachePmask,
+                            cache_const, cnt)
+
+        # ---- pass 2: compact + optimize per level
+        for level in ("mid", "fine"):
+            if level not in built:
+                continue
+            (phase_i, stage_ids, lr_table, lv, cache_pix, cacheI, cacheD,
+             cacheWm, cachePmask, cache_const, cnt) = built[level]
+            # map_scan's static geo/color split requires a contiguous
+            # geometry-then-colour schedule (build_schedule guarantees it;
+            # assert here so an interleaved schedule can't silently run
+            # iterations under the wrong stage)
+            n_geo = int(np.sum(stage_ids == 0))
+            assert (stage_ids[:n_geo] == 0).all() and \
+                (stage_ids[n_geo:] == 1).all(), \
+                "map_scan static split needs contiguous geometry prefix"
             # compact the scene to the rows this phase can touch (see
             # compact_scene) — the scan's Adam then runs over U rows
             # instead of the full capacity
-            U = unique_bucket(int(count_unique(cacheI)), lv.capacity)
+            U = unique_bucket(int(cnt), lv.capacity)
             uniq, cacheI, pos_c, geo_c, col_c = compact_scene(
                 cacheI, lv.pos, lv.geo, lv.col, U)
             cache_packed = None

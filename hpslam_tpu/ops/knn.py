@@ -214,29 +214,134 @@ def topk_extract(d2: jnp.ndarray, k: int):
     return jnp.stack(Ds, -1), jnp.stack(Is, -1)
 
 
-def topk_candidates(d2: jnp.ndarray, k: int):
-    """Final candidate top-k.  A two-stage form (raw PartialReduce over the
-    (q, probe*tile) rows + narrow argmin passes, the _select_tiles trick)
-    was built and MEASURED NEGATIVE at the tracking operating point:
-    48.4-50.9 ms vs 43.0-43.3 ms exact per 25k-query search AND k=8 recall
-    0.994 -> 0.980 (tools_profile_knn3 A/B on TPU v5e) — the PartialReduce
-    materialisation + index re-gather costs more than the ~4x narrower
-    argmin passes save at this row width.  Exact passes it is."""
-    return topk_extract(d2, k)
+# ---------------------------------------------------------------------------
+# Pallas exact row-top-k (round 5).  The per-phase budget
+# (tools_profile_budget.py, QUALITY.md) showed the search stages are
+# op-LATENCY-bound, not bandwidth-bound: topk_extract's k argmin passes +
+# _select_tiles' PartialReduce/narrow cost ~100 small sequential XLA ops
+# per 4096-query chunk (~3 ms of launch latency at ~30 us/op), while the
+# data fits VMEM.  One Pallas kernel runs all k passes on a VMEM-resident
+# block: identical first-occurrence-argmin semantics, ~2 device ops per
+# chunk instead of ~100.  TPU-only: off-TPU the XLA paths below are used
+# (same semantics; the interpret-mode kernel is unit-pinned against them
+# in tests/test_knn.py).
+
+
+def _on_tpu() -> bool:
+    d = jax.devices()[0]
+    return "tpu" in (d.platform + " " + d.device_kind).lower()
+
+
+def _topk_rows_kernel(k: int, with_payload: bool, *refs):
+    """Exact ascending top-k per row over a VMEM block.
+
+    refs: (x_ref[, v_ref], od_ref, oi_ref).  x (bn, C) distances;
+    v (bn, C) f32 payload carried through selection (pack_ids-encoded
+    candidate ids); without a payload the selected COLUMN indices are
+    returned (f32 values — exact below 2^24, the _select_tiles case).
+    Tie rule = first occurrence, matching jnp.argmin (topk_extract)."""
+    if with_payload:
+        x_ref, v_ref, od_ref, oi_ref = refs
+        v = v_ref[...]
+    else:
+        x_ref, od_ref, oi_ref = refs
+        v = None
+    x = x_ref[...]
+    C = x.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    iota_f = iota.astype(jnp.float32)
+    Ds, Is = [], []
+    for _ in range(k):
+        m = jnp.min(x, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(x <= m, iota, C), axis=1, keepdims=True)
+        onehot = iota == first
+        Ds.append(m[:, 0])
+        sel_v = iota_f if v is None else v
+        Is.append(jnp.sum(jnp.where(onehot, sel_v, 0.0), axis=1))
+        x = jnp.where(onehot, BIG, x)
+    od_ref[...] = jnp.stack(Ds, axis=1)
+    oi_ref[...] = jnp.stack(Is, axis=1)
+
+
+def _pick_topk_bn(n: int, C: int) -> int:
+    """Row block: keep x + payload + ~3 temporaries under ~6 MB of VMEM."""
+    budget = 6 * 1024 * 1024 // (5 * 4 * max(C, 1))
+    bn = 8
+    while bn * 2 <= min(budget, n, 512):
+        bn *= 2
+    return bn
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _pl_topk(d2, payload, k: int, interpret: bool = False):
+    """pallas_call wrapper: (n, C) [+ payload (n, C) f32] -> (Dk (n, k)
+    ascending, sel (n, k) f32 — payload values, or column indices)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, C = d2.shape
+    bn = _pick_topk_bn(n, C)
+    n_pad = -(-n // bn) * bn
+    if n_pad != n:
+        pad = jnp.full((n_pad - n, C), BIG, d2.dtype)
+        d2 = jnp.concatenate([d2, pad], 0)
+        if payload is not None:
+            payload = jnp.concatenate(
+                [payload, jnp.zeros((n_pad - n, C), jnp.float32)], 0)
+    grid = (n_pad // bn,)
+    row = pl.BlockSpec((bn, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((bn, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(_topk_rows_kernel, k, payload is not None)
+    args = (d2,) if payload is None else (d2, payload)
+    Dk, sel = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[row] * len(args),
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, k), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return Dk[:n], sel[:n]
+
+
+def topk_candidates(d2: jnp.ndarray, k: int, ids_f=None):
+    """Final candidate top-k.
+
+    On TPU: the Pallas row-top-k kernel, with the f32-encoded candidate
+    ids carried as the selection payload when given (saves the
+    take_along re-gather).  Off-TPU: argmin passes (identical
+    semantics).  Historical note: a two-stage PartialReduce form was
+    MEASURED NEGATIVE here (48.4-50.9 vs 43.0-43.3 ms standalone AND
+    recall 0.994 -> 0.980, tools_profile_knn3) — though r05's budget
+    showed standalone search timings on the tunnelled runtime are
+    dispatch-latency-dominated, so treat those absolutes with care."""
+    if _on_tpu():
+        Dk, sel = _pl_topk(d2, ids_f, k)
+        if ids_f is not None:
+            return Dk, sel          # payload = encoded ids
+        return Dk, jnp.round(sel).astype(jnp.int32)
+    Dk, Ik = topk_extract(d2, k)
+    if ids_f is not None:
+        return Dk, jnp.take_along_axis(ids_f, Ik, axis=1)
+    return Dk, Ik
 
 
 def _select_tiles(lb2: jnp.ndarray, probe: int) -> jnp.ndarray:
     """Top-``probe`` tile ids by lower bound, (q, T) -> (q, probe) int32.
 
-    approx_min_k with aggregate_to_topk=True lowers to a FULL-row sort on
-    TPU (~23 ms at (25k, 4096) — the dominant cost of the whole search).
-    Two-stage instead: the raw PartialReduce (aggregate_to_topk=False,
-    recall_target=0.95 -> 256 bin minima) + an exact ``probe``-pass argmin
-    narrow.  Measured 2x faster at the tracking operating point with
-    slightly HIGHER recall than the aggregated form (k=8 recall 0.9978 vs
-    0.9958 on the 300k wall cloud).  Small T falls back to the one-shot
-    form (the sort is cheap there and PartialReduce needs wide rows)."""
+    TPU at T >= 512: ONE Pallas row-top-k over the full (q, T) bounds —
+    EXACT selection (the prior two-stage PartialReduce+narrow dropped a
+    true tile ~0.2% of rows at recall_target=0.95) at ~2 device ops
+    instead of ~60 (the narrow's 12 argmin passes were the tracker's
+    dominant launch-latency cost, tools_profile_budget.py).  Off-TPU
+    keeps the two-stage form; small T keeps the one-shot approx_min_k
+    (the row sort is cheap there, and Pallas wants lane-multiple
+    widths)."""
     if lb2.shape[1] >= 512:
+        if _on_tpu() and lb2.shape[1] % 128 == 0:
+            _, sel = _pl_topk(lb2, None, probe)
+            return jnp.round(sel).astype(jnp.int32)
         v, ti = jax.lax.approx_min_k(lb2, probe, recall_target=0.95,
                                      aggregate_to_topk=False)
         _, sel = topk_extract(v, probe)
@@ -384,9 +489,12 @@ def knn_tiles(query: jnp.ndarray, packed: jnp.ndarray,
             cpos = crow[:, :, c * tile:(c + 1) * tile].reshape(
                 qc, probe * tile)
             d2 = d2 + jnp.square(q[:, c:c + 1] - cpos)
-        cidx = unpack_ids(crow[:, :, 3 * tile:]).reshape(qc, probe * tile)
-        Dk, sel = topk_candidates(d2, k)
-        Ik = jnp.take_along_axis(cidx, sel, axis=1)
+        # the f32-encoded id plane rides through the top-k as the
+        # selection payload (one unpack of (qc, k) instead of a
+        # take_along re-gather over (qc, probe*tile))
+        cidx_f = crow[:, :, 3 * tile:].reshape(qc, probe * tile)
+        Dk, If = topk_candidates(d2, k, ids_f=cidx_f)
+        Ik = unpack_ids(If)
         return Dk, Ik
 
     if num_q == 1:

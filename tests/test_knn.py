@@ -344,3 +344,31 @@ def test_packed_index_matches_unpacked_oracle(rng):
             boundary = np.abs(Do[diff] - r2) <= 1e-5 * r2
             assert boundary.any(axis=1).all(), (
                 f"count divergence off-boundary at {Q}/{q_chunk}")
+
+
+def test_pl_topk_matches_argmin_passes(rng):
+    """The Pallas row-top-k kernel (the TPU candidate + tile-selection
+    stages, ops/knn.py round 5) must match topk_extract's
+    first-occurrence argmin semantics BITWISE — exercised here in
+    interpret mode on CPU, with exact ties, BIG sentinel rows, and a
+    ragged row count (padding path)."""
+    import jax.numpy as jnp
+    n, C, k = 100, 256, 8
+    x = rng.uniform(0, 1, (n, C)).astype(np.float32)
+    x[::7, 10] = x[::7, 3]          # exact ties across columns
+    x[5] = K.BIG                    # fully-masked row
+    x[6, 50:] = K.BIG               # partially-masked row
+    ids = rng.integers(0, 1 << 22, (n, C)).astype(np.int32)
+    Dk, Ik = K.topk_extract(jnp.asarray(x), k)
+    Dk, Ik = np.asarray(Dk), np.asarray(Ik)
+    # index variant (tile selection)
+    Dp, sp = K._pl_topk(jnp.asarray(x), None, k, interpret=True)
+    np.testing.assert_array_equal(Dk, np.asarray(Dp))
+    np.testing.assert_array_equal(
+        Ik, np.round(np.asarray(sp)).astype(np.int32))
+    # payload variant (candidate ids ride through the selection)
+    Dp2, vp = K._pl_topk(jnp.asarray(x), K.pack_ids(jnp.asarray(ids)), k,
+                         interpret=True)
+    np.testing.assert_array_equal(Dk, np.asarray(Dp2))
+    np.testing.assert_array_equal(np.take_along_axis(ids, Ik, 1),
+                                  np.asarray(K.unpack_ids(jnp.asarray(vp))))
