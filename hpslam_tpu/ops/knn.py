@@ -263,9 +263,14 @@ def _topk_rows_kernel(k: int, with_payload: bool, *refs):
     oi_ref[...] = jnp.stack(Is, axis=1)
 
 
-def _pick_topk_bn(n: int, C: int) -> int:
-    """Row block: keep x + payload + ~3 temporaries under ~6 MB of VMEM."""
-    budget = 6 * 1024 * 1024 // (5 * 4 * max(C, 1))
+def _pick_topk_bn(n: int, C: int, k: int) -> int:
+    """Row block for the top-k kernel, scaled by BOTH the row width and
+    the pass count: Mosaic does not fully reuse VMEM buffers across the
+    k unrolled selection passes, so the scoped-VMEM stack grows roughly
+    like (k/2 + 4) live (bn, C) f32 buffers — the k=32 insertion search
+    OOM'd at bn=512, C=512 (17.17 M vs the 16 M scoped limit) while the
+    k=8 tracker case fit at bn=256, C=1536 (~12.6 M)."""
+    budget = 13_000_000 // (4 * max(C, 1) * (k // 2 + 4))
     bn = 8
     while bn * 2 <= min(budget, n, 512):
         bn *= 2
@@ -280,7 +285,7 @@ def _pl_topk(d2, payload, k: int, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     n, C = d2.shape
-    bn = _pick_topk_bn(n, C)
+    bn = _pick_topk_bn(n, C, k)
     n_pad = -(-n // bn) * bn
     if n_pad != n:
         pad = jnp.full((n_pad - n, C), BIG, d2.dtype)

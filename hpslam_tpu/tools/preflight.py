@@ -184,6 +184,83 @@ def preflight(cfg: dict, input_folder=None, n_check: int = 3) -> list:
     if not (0.5 < fx / fy < 2.0):
         warn(msgs, f"fx/fy aspect {fx / fy:.2f} unusual")
 
+    # cross-frame depth-reprojection consistency (VERDICT r04 item 9):
+    # back-project a sparse grid of frame-0 depth through pose 0, project
+    # into a nearby frame, and compare against that frame's depth.  This
+    # catches the classic transcription failures GEOMETRICALLY: a missed
+    # ScanNet axis flip (reference src/utils/datasets.py:214-215 —
+    # c2w[:3,1]*=-1; c2w[:3,2]*=-1 is applied by our reader too), a wrong
+    # png_depth_scale, or w2c-vs-c2w confusion all blow the reprojected
+    # depths far outside the tolerance, while a correct tree lands within
+    # a few percent (occlusion + motion account for a small tail).
+    if n >= 3 and npo == n and finite[: min(3, n)].all():
+        try:
+            # partner frame: enough RELATIVE ROTATION to expose a flip (a
+            # consistent axis-flip error conjugates the relative pose and
+            # cancels to first order at tiny baselines — frame 0 vs 2 of
+            # a 30 Hz stream would pass even with flipped axes), but not
+            # so much that overlap vanishes.  Pick the latest frame with
+            # 5-25 deg relative rotation; fall back to frame 2.
+            Ta = poses[0].astype(np.float64)
+            bi = min(2, n - 1)
+            for j in range(1, n):
+                if not finite[j]:
+                    continue
+                Rrel = Ta[:3, :3].T @ poses[j][:3, :3]
+                ang = np.degrees(np.arccos(
+                    np.clip((np.trace(Rrel) - 1) / 2, -1, 1)))
+                if 5.0 <= ang <= 25.0:
+                    bi = j
+                elif ang > 25.0:
+                    break
+            fa, fb = ds[0], ds[bi]
+            Tb_inv = np.linalg.inv(poses[bi].astype(np.float64))
+            Hc, Wc = fa.depth.shape
+            e = int(cam.get("crop_edge", 0) or 0)
+            # post-crop intrinsics (update_cam semantics)
+            fx_c, fy_c = fx, fy
+            cx_c, cy_c = cx - e, cy - e
+            jj, ii = np.mgrid[8:Hc - 8:12, 8:Wc - 8:12]
+            jj, ii = jj.ravel(), ii.ravel()
+            d = fa.depth[jj, ii]
+            ok_d = d > 0
+            jj, ii, d = jj[ok_d], ii[ok_d], d[ok_d]
+            dirs = np.stack([(ii - cx_c) / fx_c, -(jj - cy_c) / fy_c,
+                             -np.ones_like(d)], -1)
+            pw = (Ta[:3, :3] @ (dirs * d[:, None]).T).T + Ta[:3, 3]
+            pc = (Tb_inv[:3, :3] @ pw.T).T + Tb_inv[:3, 3]
+            zb = -pc[:, 2]
+            infront = zb > 1e-3
+            ib = cx_c + fx_c * pc[:, 0] / np.maximum(zb, 1e-6)
+            jb = cy_c - fy_c * pc[:, 1] / np.maximum(zb, 1e-6)
+            inside = infront & (ib >= 0) & (ib < Wc - 1) & \
+                (jb >= 0) & (jb < Hc - 1)
+            if inside.sum() >= 50:
+                db = fb.depth[jb[inside].astype(int), ib[inside].astype(int)]
+                valid = db > 0
+                if valid.sum() >= 50:
+                    rel = np.abs(db[valid] - zb[inside][valid]) \
+                        / np.maximum(db[valid], 1e-6)
+                    med_rel = float(np.median(rel))
+                    if med_rel > 0.15:
+                        warn(msgs, f"cross-frame depth reprojection median "
+                                   f"error {100 * med_rel:.0f}% — axis "
+                                   "flip / depth scale / pose convention "
+                                   "mismatch likely")
+                    else:
+                        ok(msgs, f"cross-frame depth reprojection "
+                                 f"consistent (median {100 * med_rel:.1f}% "
+                                 f"over {int(valid.sum())} px)")
+                else:
+                    warn(msgs, "reprojection check: too few valid target "
+                               "depths (low overlap?)")
+            else:
+                warn(msgs, "reprojection check: frames 0/2 barely overlap "
+                           "— skipped")
+        except Exception as ex:  # noqa: BLE001 — diagnostic only
+            warn(msgs, f"reprojection check errored: "
+                       f"{type(ex).__name__}: {ex}")
+
     # runtime estimate from config budgets scaled vs the BENCH point
     t = cfg["tracking"]
     m = cfg["mapping"]
