@@ -335,20 +335,22 @@ def topk_candidates(d2: jnp.ndarray, k: int, ids_f=None):
 def _select_tiles(lb2: jnp.ndarray, probe: int) -> jnp.ndarray:
     """Top-``probe`` tile ids by lower bound, (q, T) -> (q, probe) int32.
 
-    TPU at T >= 512: ONE Pallas row-top-k over the full (q, T) bounds —
-    EXACT selection (the prior two-stage PartialReduce+narrow dropped a
-    true tile ~0.2% of rows at recall_target=0.95) at ~2 device ops
-    instead of ~60 (the narrow's 12 argmin passes were the tracker's
-    dominant launch-latency cost, tools_profile_budget.py).  Off-TPU
-    keeps the two-stage form; small T keeps the one-shot approx_min_k
-    (the row sort is cheap there, and Pallas wants lane-multiple
-    widths)."""
+    TPU at T >= 512: the raw PartialReduce (aggregate_to_topk=False,
+    ~16x row narrowing at recall_target=0.95 — measured tile recall
+    0.9978 on the 300k wall cloud, r03) followed by ONE Pallas row-top-k
+    over the narrowed bins with the bin->tile ids as the selection
+    payload.  An exact full-width kernel (no PartialReduce) was tried
+    first in r05 and is compute-bound: probe passes x ~6 VPU ops over
+    the full (q, T) block cost ~1.2 ms/chunk at T=4096 vs ~0.15 for the
+    narrowed form; the PartialReduce buys the 16x back at negligible
+    recall cost.  Off-TPU keeps the argmin-pass narrow (same
+    two-stage semantics); small T keeps the one-shot approx_min_k."""
     if lb2.shape[1] >= 512:
-        if _on_tpu() and lb2.shape[1] % 128 == 0:
-            _, sel = _pl_topk(lb2, None, probe)
-            return jnp.round(sel).astype(jnp.int32)
         v, ti = jax.lax.approx_min_k(lb2, probe, recall_target=0.95,
                                      aggregate_to_topk=False)
+        if _on_tpu() and v.shape[1] % 128 == 0 and v.shape[1] >= probe:
+            _, sel_f = _pl_topk(v, pack_ids(ti.astype(jnp.int32)), probe)
+            return unpack_ids(sel_f)
         _, sel = topk_extract(v, probe)
         return jnp.take_along_axis(ti.astype(jnp.int32), sel, axis=1)
     _, tsel = jax.lax.approx_min_k(lb2, probe, recall_target=0.99)

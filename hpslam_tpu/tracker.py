@@ -341,6 +341,11 @@ def track_frame(params, mcfg: Dec.ModelConfig, rcfg: RenderConfig,
             inside_thresh = jnp.minimum(10.0 * jnp.median(d_gt_stage),
                                         1.2 * jnp.max(d_gt_stage))
             xs = jax.random.split(jax.random.fold_in(k, 10_000 + s), sub)
+            # NOTE: unroll=2 here (the mapper's win) was tried in r05 and
+            # is CATASTROPHIC for the tracker scan: track_frame went
+            # 0.31 -> ~20 s/frame on v5e (bench 2026-08-21), presumably
+            # XLA rematerializing the large frozen dense-cache operands
+            # inside the unrolled body.  Keep unroll=1.
             carry, ls = jax.lax.scan(
                 make_step(stage, level_arrays, inputs, cache, cat_feats,
                           inside_thresh),
