@@ -46,9 +46,17 @@ def main():
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                           text=True).stdout.strip()
-    dirty = subprocess.run(["git", "status", "--porcelain"],
-                           capture_output=True, text=True).stdout.strip()
-    out = {"head": head, "dirty": bool(dirty),
+    porcelain = subprocess.run(["git", "status", "--porcelain"],
+                               capture_output=True, text=True
+                               ).stdout.strip().splitlines()
+    modified = [l for l in porcelain if not l.startswith("??")]
+    untracked = [l for l in porcelain if l.startswith("??")]
+    out = {"head": head,
+           # 'dirty' = TRACKED modifications (the receipt is void if the
+           # tested code differs from HEAD); untracked run artifacts are
+           # listed separately and do not void it
+           "dirty": bool(modified),
+           "untracked": untracked[:20],
            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
     print(f"== fast tier @ {head[:9]}{' (DIRTY)' if dirty else ''}",
           flush=True)
