@@ -58,7 +58,7 @@ def main():
            "dirty": bool(modified),
            "untracked": untracked[:20],
            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-    print(f"== fast tier @ {head[:9]}{' (DIRTY)' if dirty else ''}",
+    print(f"== fast tier @ {head[:9]}{' (DIRTY)' if modified else ''}",
           flush=True)
     out["fast"] = run_tier([])
     print(json.dumps(out["fast"], indent=1), flush=True)
