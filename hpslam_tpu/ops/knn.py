@@ -310,6 +310,13 @@ def _pl_topk(d2, payload, k: int, interpret: bool = False):
     return Dk[:n], sel[:n]
 
 
+# NOTE: a fully-fused candidate kernel (in-kernel d2 from the gathered
+# packed rows + top-k, avoiding the HBM d2/id planes) was built and
+# MEASURED NEGATIVE in r05: Mosaic cannot broadcast 1-D -> 3-D vectors,
+# so the probe axis became a static slab loop (~576 sequenced small VPU
+# ops per block) and bench regressed 661 -> 772 ms/frame (track 379,
+# map 1964; 2026-08-21 A/B).  The XLA d2 + flat _pl_topk below wins.
+
 def topk_candidates(d2: jnp.ndarray, k: int, ids_f=None):
     """Final candidate top-k.
 
